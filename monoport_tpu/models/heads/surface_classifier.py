@@ -1,0 +1,69 @@
+"""Point-wise occupancy / color MLP.
+
+Reference contract: monoport/lib/modeling/heads/SurfaceClassifier.py:6-87 —
+a stack of 1x1 convolutions (here: Dense layers over point-major [B, N, C]),
+leaky-ReLU between layers, and (in the PIFu configs) a skip-concat of the
+input feature into every layer after the first (``no_residual=False``).
+
+TPU note: each layer is one [B*N, Cin] x [Cin, Cout] GEMM on the MXU. The
+fused Pallas kernel in monoport_tpu/ops/pallas/fused_mlp.py implements the
+same arithmetic while keeping activations in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SurfaceClassifier(nn.Module):
+    filter_channels: Sequence[int]
+    num_views: int = 1
+    no_residual: bool = True
+    last_op: Callable[[jax.Array], jax.Array] | None = None
+
+    def setup(self):
+        chans = list(self.filter_channels)
+        layers = []
+        for l in range(len(chans) - 1):
+            # input width includes the skip-concat for layers > 0
+            layers.append(nn.Dense(chans[l + 1], name=f"filters_{l}"))
+        self.filters = layers
+
+    def __call__(self, feature: jax.Array) -> jax.Array:
+        """[B, N, C_in] -> [B, N, C_out]."""
+        y = feature
+        tmpy = feature
+        n_layers = len(self.filters)
+        for i, f in enumerate(self.filters):
+            if self.no_residual or i == 0:
+                y = f(y)
+            else:
+                y = f(jnp.concatenate([y, tmpy], axis=-1))
+            if i != n_layers - 1:
+                y = nn.leaky_relu(y, negative_slope=0.01)
+            if self.num_views > 1 and i == n_layers // 2:
+                b = y.shape[0] // self.num_views
+                y = y.reshape(b, self.num_views, *y.shape[1:]).mean(axis=1)
+                tmpy = feature.reshape(
+                    b, self.num_views, *feature.shape[1:]).mean(axis=1)
+        if self.last_op is not None:
+            y = self.last_op(y)
+        return y
+
+
+def PIFuNetGMLP(opt=None, name=None) -> SurfaceClassifier:
+    """Occupancy head: [257,1024,512,256,128,1] + sigmoid (reference :74-79)."""
+    return SurfaceClassifier(
+        filter_channels=(257, 1024, 512, 256, 128, 1),
+        num_views=1, no_residual=False, last_op=jax.nn.sigmoid, name=name)
+
+
+def PIFuNetCMLP(opt=None, name=None) -> SurfaceClassifier:
+    """Color head: [513,1024,512,256,128,3] + tanh (reference :82-87)."""
+    return SurfaceClassifier(
+        filter_channels=(513, 1024, 512, 256, 128, 3),
+        num_views=1, no_residual=False, last_op=jnp.tanh, name=name)

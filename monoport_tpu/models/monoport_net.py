@@ -1,0 +1,132 @@
+"""MonoPortNet — the generic pixel-aligned implicit-function network.
+
+Reference contract: monoport/lib/modeling/MonoPortNet.py:11-160. Differences
+by design (TPU-native conventions):
+  * images are NHWC [B, H, W, C]; features [B, h, w, C];
+  * points are point-major [B, N, 3]; predictions [B, N, Res];
+  * train/eval stage selection is an explicit ``train`` argument instead of
+    module state (MonoPortNet.py:63-64);
+  * factory dispatch goes through explicit registries instead of
+    ``globals()`` (MonoPortNet.py:23-28).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.projection import PROJECTIONS
+from ..ops.resize import interpolate_2d
+from ..ops.sampling import index
+from .backbones import BACKBONES
+from .heads import HEADS
+from .normalizers import PIFuNomalizer, DepthNormalizer
+
+FeatStages = Sequence[Sequence[jax.Array]]
+
+NORMALIZERS = {"PIFuNomalizer": PIFuNomalizer}
+
+
+class MonoPortNet(nn.Module):
+    opt_net: Any  # CfgNode with backbone/head/normalizer/projection/loss
+
+    def setup(self):
+        from ..config import CN
+        # flax may have coerced the config dict into a FrozenDict field
+        opt = CN(self.opt_net)
+        self.opt = opt
+        assert opt.projection in ("orthogonal", "perspective")
+        self.image_filter = BACKBONES[opt.backbone.IMF](
+            opt.backbone, name="image_filter")
+        self.surface_classifier = HEADS[opt.head.IMF](
+            opt.head, name="surface_classifier")
+        self.normalizer: DepthNormalizer = NORMALIZERS[opt.normalizer.IMF](
+            opt.normalizer)
+        self.projection = PROJECTIONS[opt.projection]
+
+    # -- feature extraction (MonoPortNet.py:31-46) --------------------------
+    def filter(self, images: jax.Array,
+               feat_prior: Optional[jax.Array] = None) -> FeatStages:
+        feats_stages = self.image_filter(images)
+        if feat_prior is not None:  # netC: concat geometry prior features
+            # F.interpolate default mode is nearest (MonoPortNet.py:42)
+            feat_prior = interpolate_2d(feat_prior, (128, 128), "nearest")
+            feats_stages = [
+                [jnp.concatenate([feat_prior, f], axis=-1) for f in feats]
+                for feats in feats_stages]
+        return feats_stages
+
+    # -- point query (MonoPortNet.py:48-91) ---------------------------------
+    def query(self, feats_stages: FeatStages, points: jax.Array,
+              calibs: Optional[jax.Array] = None,
+              transforms: Optional[jax.Array] = None,
+              train: bool = False) -> list[jax.Array]:
+        """Query predictions at [B, N, 3] world points -> list of [B, N, Res]."""
+        if not train:
+            feats_stages = feats_stages[-1:]
+        xyz = points if calibs is None else self.projection(
+            points, calibs, transforms)
+        xy = xyz[..., :2]
+        z = xyz[..., 2:3]
+        in_img = ((xy[..., 0] >= -1.0) & (xy[..., 0] <= 1.0)
+                  & (xy[..., 1] >= -1.0) & (xy[..., 1] <= 1.0))
+        z_feat = self.normalizer(z)
+        preds = []
+        for feats in feats_stages:
+            point_local_feat = jnp.concatenate(
+                [index(f, xy) for f in feats] + [z_feat], axis=-1)
+            pred = self.surface_classifier(point_local_feat)
+            preds.append(in_img[..., None].astype(pred.dtype) * pred)
+        return preds
+
+    # -- loss (MonoPortNet.py:93-117) ----------------------------------------
+    def get_loss(self, pred_stages: Sequence[jax.Array],
+                 labels: jax.Array) -> jax.Array:
+        imf = self.opt.loss.IMF
+        if imf == "MSE":
+            fn = lambda p, l: jnp.mean((p - l) ** 2)
+        elif imf == "L1":
+            fn = lambda p, l: jnp.mean(jnp.abs(p - l))
+        else:
+            raise NotImplementedError(imf)
+        loss = sum(fn(p, labels) for p in pred_stages)
+        return loss / len(pred_stages)
+
+    def __call__(self, images: jax.Array, points: jax.Array,
+                 calibs: jax.Array, transforms: Optional[jax.Array] = None,
+                 labels: Optional[jax.Array] = None,
+                 feat_prior: Optional[jax.Array] = None,
+                 train: bool = False):
+        feats_stages = self.filter(images, feat_prior)
+        pred_stages = self.query(feats_stages, points, calibs, transforms,
+                                 train=train)
+        if labels is not None:
+            return pred_stages[-1], self.get_loss(pred_stages, labels)
+        return pred_stages[-1]
+
+
+def _pifu_opt(projection: str, backbone: str, head: str, loss: str):
+    from ..config import CN
+    opt = CN()
+    opt.projection = projection
+    opt.backbone = CN({"IMF": backbone})
+    opt.normalizer = CN({"IMF": "PIFuNomalizer", "soft_onehot": False,
+                         "soft_dim": 64})
+    opt.head = CN({"IMF": head})
+    opt.loss = CN({"IMF": loss})
+    return opt
+
+
+def PIFuNetG() -> MonoPortNet:
+    """Geometry network factory (MonoPortNet.py:163-184)."""
+    return MonoPortNet(_pifu_opt(
+        "orthogonal", "PIFuHGFilters", "PIFuNetGMLP", "MSE"))
+
+
+def PIFuNetC() -> MonoPortNet:
+    """Color network factory (MonoPortNet.py:187-208)."""
+    return MonoPortNet(_pifu_opt(
+        "orthogonal", "PIFuResBlkFilters", "PIFuNetCMLP", "L1"))
