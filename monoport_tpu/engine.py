@@ -1,0 +1,83 @@
+"""ReconEngine — the fused per-frame on-device program.
+
+This is the TPU-native replacement for the reference's 15-stage
+multi-thread/multi-GPU pipeline core (RTL/main.py:326-452, stages 7-14):
+netG feature filtering, hierarchical occupancy reconstruction, visible-
+surface depth peeling, normal shading, netC color query and visualization
+all compile into a single XLA program — the device boundaries of the
+reference (feats .to(cuda_recon), verts .to(cuda_color)) become no-ops or
+XLA-managed transfers, and the five sequential recon levels stay on-device
+instead of doing five GPU round-trips per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models import MonoPortNet
+from .recon.depth_peel import colorize, depth_peel, shade_normal, visualize
+from .recon.hierarchy import HierarchicalRecon
+
+
+class ReconEngine:
+    """Jitted frame program: (params, images, calib) -> rendered maps.
+
+    Args:
+      netG / netC: MonoPortNet modules (netC optional — texture off).
+      recon: HierarchicalRecon config (resolutions/budgets/tau).
+      render_size: output canvas size (reference: 256, RTL/main.py:257).
+    """
+
+    def __init__(self, netG: MonoPortNet, netC: Optional[MonoPortNet] = None,
+                 recon: Optional[HierarchicalRecon] = None,
+                 render_size: int = 256, direction: str = "front"):
+        self.netG = netG
+        self.netC = netC
+        self.recon = recon or HierarchicalRecon()
+        self.render_size = render_size
+        self.direction = direction
+        self._frame = jax.jit(self._frame_impl)
+
+    def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
+                    image_c: Optional[jax.Array], calib: jax.Array):
+        resolution = self.recon.resolutions[-1]
+        feats_g = self.netG.apply(params_g, image_g, method="filter")
+
+        def query_occ(pts):
+            return self.netG.apply(params_g, feats_g, pts, calib,
+                                   method="query")[0]
+
+        vol = self.recon(query_occ)
+        maps = depth_peel(vol, self.direction,
+                          self.recon.balance_value)
+        norm_canvas = shade_normal(maps)
+        render_norm, mask = visualize(norm_canvas, self.render_size)
+        out = {"sdf": vol, "depth": maps.depth, "valid": maps.valid,
+               "render_norm": render_norm, "mask": mask}
+
+        if self.netC is not None and params_c is not None:
+            feat_prior = feats_g[-1][-1]
+            feats_c = self.netC.apply(params_c, image_c, feat_prior,
+                                      method="filter")
+
+            def query_color(pts):
+                return self.netC.apply(params_c, feats_c, pts, calib,
+                                       method="query")[0]
+
+            tex_canvas = colorize(maps, query_color, resolution,
+                                  self.recon.b_min, self.recon.b_max)
+            render_tex, mask_tex = visualize(tex_canvas, self.render_size)
+            out.update({"render_tex": render_tex, "mask": mask_tex})
+        return out
+
+    def frame(self, params_g: Any, image_g: jax.Array,
+              params_c: Any = None, image_c: Optional[jax.Array] = None,
+              calib: Optional[jax.Array] = None):
+        """Run one frame. images are NHWC [1, H, W, 3]; calib [1, 4, 4]."""
+        if calib is None:
+            calib = jnp.eye(4, dtype=jnp.float32)[None]
+        return self._frame(params_g, params_c, image_g, image_c, calib)

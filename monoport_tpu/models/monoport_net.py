@@ -37,7 +37,6 @@ class MonoPortNet(nn.Module):
         from ..config import CN
         # flax may have coerced the config dict into a FrozenDict field
         opt = CN(self.opt_net)
-        self.opt = opt
         assert opt.projection in ("orthogonal", "perspective")
         self.image_filter = BACKBONES[opt.backbone.IMF](
             opt.backbone, name="image_filter")
@@ -85,7 +84,8 @@ class MonoPortNet(nn.Module):
     # -- loss (MonoPortNet.py:93-117) ----------------------------------------
     def get_loss(self, pred_stages: Sequence[jax.Array],
                  labels: jax.Array) -> jax.Array:
-        imf = self.opt.loss.IMF
+        from ..config import CN
+        imf = CN(self.opt_net).loss.IMF
         if imf == "MSE":
             fn = lambda p, l: jnp.mean((p - l) ** 2)
         elif imf == "L1":

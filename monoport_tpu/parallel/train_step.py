@@ -1,0 +1,94 @@
+"""Sharded training step (functional; used by training.Trainer and the
+multichip dry-run).
+
+One jitted program: forward (all supervision stages, MonoPortNet.py:63 train
+path) -> multi-stage loss (MonoPortNet.py:93-117) -> grad -> optax update.
+Sharding in/out specs come from parallel.mesh; XLA inserts the gradient
+psum across the mesh (the TPU equivalent of nn.DataParallel's gather,
+common/trainer.py:15).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .mesh import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_optimizer(optim: str = "RMSprop", learning_rate: float = 1e-3,
+                   weight_decay: float = 0.0, momentum: float = 0.0,
+                   schedule: tuple = (), gamma: float = 0.1):
+    """Optimizer + MultiStepLR-style schedule (common/trainer.py:36-56).
+
+    ``schedule`` milestones are in *steps* here (the reference schedules on
+    epochs; Trainer converts) with decay factor ``gamma``.
+    """
+    if schedule:
+        lr = optax.piecewise_constant_schedule(
+            learning_rate, {int(m): gamma for m in schedule})
+    else:
+        lr = learning_rate
+    name = optim.lower()
+    if name == "adadelta":
+        tx = optax.adadelta(lr, weight_decay=weight_decay)
+    elif name == "sgd":
+        tx = optax.sgd(lr, momentum=momentum or None)
+    elif name == "adam":
+        tx = optax.adam(lr)
+    elif name == "rmsprop":
+        tx = optax.rmsprop(lr, momentum=momentum)
+    else:
+        raise NotImplementedError(optim)
+    if weight_decay and name in ("sgd", "adam", "rmsprop"):
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def create_train_state(net, rng, example_batch, tx) -> TrainState:
+    variables = net.init(rng, example_batch["images"],
+                         example_batch["points"], example_batch["calibs"],
+                         labels=example_batch["labels"], train=True)
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"], opt_state=tx.init(
+                          variables["params"]), tx=tx)
+
+
+def make_train_step(net, mesh=None) -> Callable:
+    """Build the jitted train step; with a mesh, shard batch/state."""
+
+    def loss_fn(params, batch):
+        _, loss = net.apply({"params": params}, batch["images"],
+                            batch["points"], batch["calibs"],
+                            labels=batch["labels"], train=True)
+        return loss
+
+    def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        return state.apply_gradients(grads), loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+    # prefix-pytree shardings: replicated state, sharded batch dict
+    return jax.jit(step_fn, in_shardings=(rep, bs),
+                   out_shardings=(rep, rep), donate_argnums=0)

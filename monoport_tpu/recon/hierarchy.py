@@ -1,0 +1,114 @@
+"""Hierarchical "lossless" surface localization — TPU-native.
+
+This replaces the reference's external CUDA component ImplicitSegCUDA
+(``Seg3dLossless``; call sites RTL/main.py:185-195, behavior in SURVEY
+§2.3): evaluate a dense coarse grid, then at each finer 2^k+1 level
+trilinearly upsample the occupancy and re-evaluate **only** voxels near
+the 0.5 iso-surface (plus dilation), writing results into the dense
+volume. ~90k of 17M points evaluated per 257³ frame at IOU 1.0.
+
+TPU-first redesign (vs the reference's dynamic octree):
+  * every level has a **static shape**: candidate voxels are compacted
+    into a fixed-budget padded index buffer with ``jnp.flatnonzero(size=K)``
+    (cumsum+gather under XLA — no dynamic shapes, one compile);
+  * upsampling is the separable matmul interpolation of ops/resize.py
+    (exact on the nested 2^k+1 grids, align_corners=True);
+  * boundary detection + dilation are reduce_window max ops (VPU);
+  * out-of-budget / padding lanes scatter with mode='drop'.
+
+The band threshold ``tau`` plus dilation plays the role of the reference's
+``balance_value``/dilation; budgets mirror the fixed-evaluation idea of its
+Seg3dTopk variant, which fits XLA better than true subdivision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import interpolate_3d
+from .dense import QueryFn, dense_eval, grid_points, index_to_world
+
+
+def _dilate3d(mask: jax.Array, times: int) -> jax.Array:
+    m = mask.astype(jnp.float32)
+    for _ in range(times):
+        m = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    return m > 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class HierarchicalRecon:
+    """Coarse-to-fine occupancy reconstruction with static shapes.
+
+    Args mirror the reference Seg3dLossless constructor (RTL/main.py:188-195)
+    with TPU additions (budgets / tau / dilate).
+    """
+    resolutions: Sequence[int] = (17, 33, 65, 129, 257)
+    b_min: tuple = (-1.0, -1.0, -1.0)
+    b_max: tuple = (1.0, 1.0, 1.0)
+    balance_value: float = 0.5
+    budgets: Sequence[int] = (0, 16384, 65536, 131072, 262144)
+    boundary_tau: float = 0.2
+    dilate: int = 1
+
+    def __post_init__(self):
+        assert len(self.budgets) == len(self.resolutions)
+        for coarse, fine in zip(self.resolutions[:-1], self.resolutions[1:]):
+            assert fine == 2 * coarse - 1, (
+                "resolutions must be nested 2^k+1 grids")
+
+    def __call__(self, query_fn: QueryFn,
+                 return_counts: bool = False):
+        """-> vol [R, R, R] (optionally with per-level candidate counts)."""
+        res0 = self.resolutions[0]
+        pts0 = grid_points(res0, self.b_min, self.b_max)
+        occ = query_fn(pts0[None])[0, :, 0].reshape(res0, res0, res0)
+
+        counts = []
+        for res, budget in zip(self.resolutions[1:], self.budgets[1:]):
+            occ = self._refine_level(query_fn, occ, res, budget, counts)
+        if return_counts:
+            return occ, counts
+        return occ
+
+    def _refine_level(self, query_fn: QueryFn, occ_coarse: jax.Array,
+                      res: int, budget: int, counts: list) -> jax.Array:
+        occ_up = interpolate_3d(occ_coarse, (res, res, res))
+        band = jnp.abs(occ_up - self.balance_value) < self.boundary_tau
+        band = _dilate3d(band, self.dilate)
+        # points on the coarse lattice (all-even indices) are already exact
+        even = (jnp.arange(res) % 2) == 0
+        coarse_pt = (even[:, None, None] & even[None, :, None]
+                     & even[None, None, :])
+        cand = band & ~coarse_pt
+        counts.append(cand.sum())
+
+        flat_cand = cand.reshape(-1)
+        n_vox = res ** 3
+        idx = jnp.flatnonzero(flat_cand, size=budget, fill_value=n_vox)
+        valid = idx < n_vox
+        safe = jnp.where(valid, idx, 0)
+        # flat index -> (i=z, j=y, k=x) -> world
+        iz = safe // (res * res)
+        jy = (safe // res) % res
+        kx = safe % res
+        pts = index_to_world(jnp.stack([kx, jy, iz], axis=-1), res,
+                             self.b_min, self.b_max)
+        preds = query_fn(pts[None])[0, :, 0]
+        scatter_idx = jnp.where(valid, idx, n_vox)
+        occ = occ_up.reshape(-1).at[scatter_idx].set(
+            preds, mode="drop").reshape(res, res, res)
+        return occ
+
+    # -- reference-parity helper -------------------------------------------
+    def dense(self, query_fn: QueryFn, resolution: int | None = None,
+              chunk: int = 262144) -> jax.Array:
+        """Exhaustive evaluation at the final resolution (oracle path)."""
+        resolution = resolution or self.resolutions[-1]
+        return dense_eval(query_fn, resolution, self.b_min, self.b_max,
+                          chunk=chunk)

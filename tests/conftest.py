@@ -52,6 +52,11 @@ def reference_modeling():
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; pin CPU explicitly so tests are deterministic and the
+# 8-virtual-device mesh is available.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against fp32 torch; the default matmul precision on
 # this backend is reduced (bf16-class), so pin full precision for tests.
 jax.config.update("jax_default_matmul_precision", "highest")

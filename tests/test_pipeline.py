@@ -1,0 +1,127 @@
+"""Pipeline runtime, streamer, segmentation, and mesh-util tests."""
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from monoport_tpu.pipeline import Pipeline
+from monoport_tpu.pipeline.segmentation import Segmentation, alpha_to_bbox
+from monoport_tpu.utils import (compute_normal, load_obj_mesh,
+                                load_obj_mesh_with_color, save_obj_mesh,
+                                save_obj_mesh_with_color)
+
+
+def test_pipeline_order_and_stats():
+    src = list(range(20))
+    p = Pipeline(src, [lambda x: x * 2, lambda x: x + 1], max_queue=2)
+    out = list(p)
+    assert out == [x * 2 + 1 for x in src]
+    assert all(st.frames == 20 for st in p.stats)
+    assert "latency" in p.report()
+
+
+def test_pipeline_overlap():
+    """Stages run concurrently: total time ~ max-stage, not sum."""
+    def slow_a(x):
+        time.sleep(0.02)
+        return x
+
+    def slow_b(x):
+        time.sleep(0.02)
+        return x
+
+    n = 20
+    t0 = time.perf_counter()
+    out = list(Pipeline(range(n), [slow_a, slow_b], max_queue=2))
+    dt = time.perf_counter() - t0
+    assert out == list(range(n))
+    assert dt < n * 0.04 * 0.8  # meaningfully faster than serial
+
+
+def test_pipeline_error_propagates_with_stage_name():
+    def boom(x):
+        if x == 3:
+            raise ValueError("bad frame")
+        return x
+
+    boom.__name__ = "boom_stage"
+    p = Pipeline(range(10), [boom])
+    with pytest.raises(RuntimeError, match="boom_stage"):
+        list(p)
+
+
+def test_pipeline_early_close():
+    p = Pipeline(range(1000000), [lambda x: x], max_queue=2)
+    it = iter(p)
+    assert next(it) == 0
+    p.close()  # must not hang
+
+
+def test_segmentation_box_fallback_contract():
+    imgs = jnp.ones((2, 64, 64, 3)) * 0.5
+    seg = Segmentation(variables=None, scaled_boxes=[10, 5, 50, 60])
+    segm, bboxes, probs = seg(imgs)
+    assert segm.shape == (2, 64, 64, 4)
+    # rgb normalized to [-1, 1] (reference: segm[:, :3]*0.5+0.5 recovers)
+    np.testing.assert_allclose(np.asarray(segm[..., :3]), 0.0, atol=1e-6)
+    a = np.asarray(segm[..., 3])
+    assert a[0, 30, 30] == 1.0 and a[0, 0, 0] == 0.0
+    np.testing.assert_allclose(np.asarray(bboxes[0]), [10, 5, 50, 60])
+    assert float(probs[0]) == 1.0
+
+
+def test_alpha_to_bbox_empty():
+    bbox, probs = alpha_to_bbox(jnp.zeros((1, 16, 16)))
+    np.testing.assert_array_equal(np.asarray(bbox), 0)
+    assert float(probs[0]) == 0.0
+
+
+def test_mattenet_shapes():
+    import jax
+    from monoport_tpu.pipeline.segmentation import MatteNet
+    net = MatteNet(width=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(variables, x)
+    assert y.shape == (1, 64, 64, 1)
+    seg = Segmentation(variables=variables, width=8)
+    segm, bboxes, probs = seg(jnp.ones((1, 64, 64, 3)) * 0.3)
+    assert segm.shape == (1, 64, 64, 4)
+
+
+def test_obj_roundtrip():
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.obj")
+        save_obj_mesh(path, verts, faces)
+        v, f = load_obj_mesh(path)
+        np.testing.assert_allclose(v, verts)
+        np.testing.assert_array_equal(f, faces)
+
+        colors = np.random.RandomState(0).rand(4, 3).astype(np.float32)
+        cpath = os.path.join(d, "c.obj")
+        save_obj_mesh_with_color(cpath, verts, faces, colors)
+        v2, c2, f2 = load_obj_mesh_with_color(cpath)
+        np.testing.assert_allclose(c2, colors, atol=1e-5)
+
+    n = compute_normal(verts, faces)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)
+
+
+def test_obj_quads_and_negative_indices():
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "q.obj")
+        with open(path, "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                    "f 1 2 3 4\nf -4 -3 -2\n")
+        v, faces = load_obj_mesh(path)
+        assert v.shape == (4, 3)
+        np.testing.assert_array_equal(
+            faces, [[0, 1, 2], [0, 2, 3], [0, 1, 2]])
