@@ -1,0 +1,134 @@
+"""Trainer — optimization loop scaffolding with checkpoint/resume.
+
+Reference contract: monoport/lib/common/trainer.py:12-105 — builds the
+optimizer by config name (Adadelta/SGD/Adam/RMSprop), a MultiStepLR
+schedule, checkpoint dicts {opt, net, optimizer, scheduler, epoch,
+iteration}, resume, colorlogger and a tensorboard writer; wraps the net in
+nn.DataParallel.
+
+TPU-native redesign: data parallelism is the (data, points) mesh of
+parallel.mesh + a sharded jitted train step (parallel.train_step); the
+checkpoint is an orbax-saved pytree {params, opt_state, step, epoch} plus
+the frozen config — and legacy PyTorch checkpoints load through
+monoport_tpu.convert.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import make_mesh
+from ..parallel.train_step import (TrainState, create_train_state,
+                                   make_optimizer, make_train_step)
+from .logger import colorlogger
+
+
+class Trainer:
+    def __init__(self, net, cfg, use_mesh: bool = True,
+                 steps_per_epoch: int = 1000):
+        self.net = net
+        self.cfg = cfg
+        self.epoch = 0
+        self.iteration = 0
+
+        self.checkpoints_path = os.path.join(cfg.checkpoints_path, cfg.name)
+        self.results_path = os.path.join(cfg.results_path, cfg.name)
+        os.makedirs(self.checkpoints_path, exist_ok=True)
+        os.makedirs(self.results_path, exist_ok=True)
+        self.logger = colorlogger(self.results_path)
+
+        try:
+            from tensorboardX import SummaryWriter
+            self.tb_writer = SummaryWriter(logdir=self.results_path)
+        except ImportError:  # pragma: no cover
+            self.tb_writer = None
+
+        # MultiStepLR milestones are epochs in the reference
+        # (common/trainer.py:55); convert to steps.
+        milestones = [int(m) * steps_per_epoch for m in cfg.schedule]
+        self.tx = make_optimizer(cfg.optim, cfg.learning_rate,
+                                 cfg.weight_decay, cfg.momentum,
+                                 tuple(milestones), cfg.gamma)
+        self.mesh = make_mesh() if use_mesh and len(
+            jax.devices()) > 1 else None
+        self.step_fn = make_train_step(net, mesh=self.mesh)
+        self.state: Optional[TrainState] = None
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, example_batch, rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.state = create_train_state(self.net, rng, example_batch,
+                                        self.tx)
+        return self.state
+
+    def load_params(self, variables: dict) -> None:
+        """Adopt externally converted params (e.g. legacy PyTorch ckpts)."""
+        assert self.state is not None, "call init_state first"
+        self.state = self.state.replace(params=variables["params"])
+
+    # -- checkpointing (reference update_ckpt/load_ckpt, trainer.py:61-90) --
+    def update_ckpt(self, filename: str, epoch: int, iteration: int,
+                    **kwargs) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.checkpoints_path, filename))
+        ckpt = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.state.step),
+            "epoch": np.asarray(epoch),
+            "iteration": np.asarray(iteration),
+            "opt": self.cfg.to_dict(),
+            **kwargs,
+        }
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, ckpt, force=True)
+        self.logger.info("saving ckpt to %s", path)
+
+    def load_ckpt(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        self.logger.info("loading ckpt from %s", path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckpt = ckptr.restore(path)
+        self.state = self.state.replace(params=ckpt["params"])
+        if self.cfg.resume:
+            self.logger.info("resume training with optimizer state")
+            # orbax restores plain dict/list containers; graft the leaves
+            # back into the live opt_state structure (NamedTuples)
+            structure = jax.tree.structure(self.state.opt_state)
+            leaves = jax.tree.leaves(ckpt["opt_state"])
+            self.state = self.state.replace(
+                opt_state=jax.tree.unflatten(structure, [
+                    jnp.asarray(a) for a in leaves]),
+                step=jnp.asarray(ckpt["step"]))
+            self.epoch = int(ckpt["epoch"])
+            self.iteration = int(ckpt["iteration"])
+
+    # -- loop ---------------------------------------------------------------
+    def train_epoch(self, batches: Iterable[dict], epoch: int) -> float:
+        losses = []
+        for batch in batches:
+            if self.state is None:
+                self.init_state(batch)
+            self.state, loss = self.step_fn(self.state, batch)
+            self.iteration += 1
+            if self.iteration % self.cfg.freq_plot == 0:
+                lossf = float(loss)
+                losses.append(lossf)
+                self.logger.info("epoch %d iter %d loss %.5f",
+                                 epoch, self.iteration, lossf)
+                if self.tb_writer is not None:
+                    self.tb_writer.add_scalar("train/loss", lossf,
+                                              self.iteration)
+            if self.iteration % self.cfg.freq_save == 0:
+                self.update_ckpt(f"ckpt_{self.iteration}", epoch,
+                                 self.iteration)
+        self.epoch = epoch
+        return float(np.mean(losses)) if losses else float("nan")

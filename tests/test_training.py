@@ -1,0 +1,124 @@
+"""Training infrastructure tests: synthetic-data learning, checkpoint
+round-trip, optimizer factory, config system."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monoport_tpu.config import CN, get_cfg_defaults
+from monoport_tpu.models import MonoPortNet
+from monoport_tpu.parallel.train_step import (create_train_state,
+                                              make_optimizer,
+                                              make_train_step)
+from monoport_tpu.training.datasets import SyntheticBlobDataset
+
+
+def _tiny_netG():
+    from monoport_tpu.models.heads import HEADS
+    from monoport_tpu.models.heads.surface_classifier import SurfaceClassifier
+    HEADS.setdefault("tiny_head", lambda o=None, name=None: SurfaceClassifier(
+        filter_channels=(65, 64, 1), num_views=1, no_residual=False,
+        last_op=jax.nn.sigmoid, name=name))
+    opt = CN()
+    opt.projection = "orthogonal"
+    opt.backbone = CN({"IMF": "PIFuHGFilters", "num_stack": 1,
+                       "num_hourglass": 1, "hourglass_dim": 64,
+                       "norm": "group", "hg_down": "ave_pool"})
+    opt.normalizer = CN({"IMF": "PIFuNomalizer"})
+    opt.head = CN({"IMF": "tiny_head"})
+    opt.loss = CN({"IMF": "MSE"})
+    return MonoPortNet(opt)
+
+
+def test_synthetic_dataset_contract():
+    ds = SyntheticBlobDataset(size=64, num_sample_geo=256, length=4)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["samples_geo"].shape == (256, 3)
+    labels = item["labels_geo"]
+    # rebalanced 50/50-ish in/out (ppl_dynamic.py:281-294 semantics)
+    frac = labels.mean()
+    assert 0.3 < frac <= 0.55
+    batch = ds.as_train_batch([0, 1])
+    assert batch["images"].shape == (2, 64, 64, 3)
+    assert batch["labels"].shape == (2, 256, 1)
+
+
+def test_training_learns_synthetic():
+    """Loss on synthetic blobs decreases markedly within a few steps."""
+    net = _tiny_netG()
+    ds = SyntheticBlobDataset(size=64, num_sample_geo=256, length=8)
+    batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(4)))
+    tx = make_optimizer("adam", 5e-3)
+    state = create_train_state(net, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(net)
+    losses = []
+    for i in range(60):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    # predicting the 0.5 prior gives MSE 0.25; require clearly below chance
+    tail = float(np.mean(losses[-5:]))
+    assert tail < 0.21, losses[::10]
+    assert np.isfinite(losses[-1])
+
+
+def test_trainer_ckpt_roundtrip(tmp_path):
+    from monoport_tpu.training import Trainer
+
+    cfg = get_cfg_defaults()
+    cfg.checkpoints_path = str(tmp_path / "ckpt")
+    cfg.results_path = str(tmp_path / "results")
+    cfg.name = "t"
+    cfg.optim = "adam"
+    cfg.freq_plot = 1
+    cfg.freq_save = 1000
+    cfg.resume = True
+
+    net = _tiny_netG()
+    ds = SyntheticBlobDataset(size=64, num_sample_geo=128, length=2)
+    batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(2)))
+
+    tr = Trainer(net, cfg, use_mesh=False)
+    tr.init_state(batch)
+    tr.state, _ = tr.step_fn(tr.state, batch)
+    params_before = jax.tree.map(np.asarray, tr.state.params)
+    tr.update_ckpt("ckpt_test", epoch=3, iteration=7)
+
+    tr2 = Trainer(net, cfg, use_mesh=False)
+    tr2.init_state(batch)
+    tr2.load_ckpt(os.path.join(tr.checkpoints_path, "ckpt_test"))
+    assert tr2.epoch == 3 and tr2.iteration == 7
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("optim", ["adadelta", "sgd", "adam", "rmsprop"])
+def test_optimizer_factory(optim):
+    tx = make_optimizer(optim, 1e-3, momentum=0.9 if optim != "adam" else 0.0,
+                        schedule=(10,), gamma=0.1)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert jnp.isfinite(updates["w"]).all()
+
+
+def test_config_merge_and_freeze(tmp_path):
+    cfg = get_cfg_defaults()
+    yaml_path = tmp_path / "c.yaml"
+    yaml_path.write_text("learning_rate: 0.01\nnetG:\n  projection: perspective\n")
+    cfg.merge_from_file(str(yaml_path))
+    assert cfg.learning_rate == 0.01
+    assert cfg.netG.projection == "perspective"
+    cfg.merge_from_list(["netG.backbone.IMF", "PIFuResBlkFilters",
+                         "batch_size", "8"])
+    assert cfg.netG.backbone.IMF == "PIFuResBlkFilters"
+    assert cfg.batch_size == 8
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.learning_rate = 0.2
