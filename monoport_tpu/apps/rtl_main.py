@@ -1,0 +1,309 @@
+"""Real-time volumetric capture demo — the flagship application (L7).
+
+Reference contract: RTL/main.py — CLI (argparse + config overrides after a
+literal ``--``), camera/video/image sources, the 15-stage processor
+pipeline, desktop OpenCV windows with hotkey mode switching, and a Flask
+MJPEG server at /video_feed.
+
+TPU-native redesign: stages 7-14 of the reference pipeline (filter ->
+recon -> peel -> color) are ONE jitted device program (monoport_tpu.engine)
+fed by a 3-stage host pipeline (capture -> segment+calib -> device frame ->
+composite). The MJPEG server uses the stdlib http.server (flask is not in
+this environment); the desktop path uses cv2 when available.
+
+Run:
+    python -m monoport_tpu.apps.rtl_main --image_folder ./frames \
+        -- netG.ckpt_path data/PIFu/net_G netC.ckpt_path data/PIFu/net_C
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import get_cfg_defaults
+from ..engine import ReconEngine
+from ..models import MonoPortNet
+from ..pipeline.runtime import Pipeline
+from ..pipeline.scene import MonoPortScene
+from ..pipeline.segmentation import Segmentation
+from ..pipeline.streamer import open_stream
+from ..recon.calib import pifu_calib
+from ..recon.hierarchy import HierarchicalRecon
+
+MODES = {
+    "desktop": "TEXTURE_NORM",   # SEGM | NORM | TEXTURE | TEXTURE_NORM
+    "server": "TEXTURE",         # NORM | TEXTURE
+    "view": "AUTO",              # FRONT | BACK | LEFT | RIGHT | AUTO | LOAD
+}
+
+_VIEW_ANGLES = {"FRONT": (20, 0), "BACK": (20, 180), "LEFT": (20, 90),
+                "RIGHT": (20, 270)}
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-cfg", "--config_file", default=None)
+    parser.add_argument("--camera", action="store_true")
+    parser.add_argument("--images", default=[], nargs="*")
+    parser.add_argument("--image_folder", default=None)
+    parser.add_argument("--videos", default=[], nargs="*")
+    parser.add_argument("--loop", action="store_true")
+    parser.add_argument("--use_server", action="store_true")
+    parser.add_argument("--desktop", action="store_true")
+    parser.add_argument("--max_frames", type=int, default=0)
+    parser.add_argument("--ip", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5555)
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # args before a literal '--' go to argparse, after it to the config
+    # (reference convention, RTL/main.py:73-75)
+    if "--" in argv:
+        split = argv.index("--")
+        argv, opts = argv[:split], argv[split + 1:]
+    else:
+        opts = []
+    args = parser.parse_args(argv)
+
+    cfg = get_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(opts)
+    cfg.freeze()
+    return args, cfg
+
+
+def load_networks(cfg):
+    """Build netG/netC and load checkpoints (RTL/main.py:105-128).
+
+    Accepts legacy PyTorch PIFu checkpoints (converted on the fly) or
+    orbax checkpoints saved by the Trainer.
+    """
+    import os
+
+    netG = MonoPortNet(cfg.netG)
+    params_g = None
+    if cfg.netG.ckpt_path and os.path.exists(cfg.netG.ckpt_path):
+        from ..convert import load_legacy_pifu
+        params_g = load_legacy_pifu(cfg.netG.ckpt_path,
+                                    cfg.netG.backbone.IMF)
+    netC, params_c = None, None
+    if cfg.netC.ckpt_path and os.path.exists(cfg.netC.ckpt_path):
+        from ..convert import load_legacy_pifu
+        netC = MonoPortNet(cfg.netC)
+        params_c = load_legacy_pifu(cfg.netC.ckpt_path,
+                                    cfg.netC.backbone.IMF)
+    return netG, params_g, netC, params_c
+
+
+def _init_random_params(net, image_hw=512):
+    """Random init when no checkpoint is supplied (demo still runs)."""
+    img = jnp.zeros((1, image_hw, image_hw, 3), jnp.float32)
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    opt = net.opt_net
+    feat_prior = None
+    if opt.backbone.IMF == "PIFuResBlkFilters":
+        feat_prior = jnp.zeros((1, 128, 128, 256), jnp.float32)
+    return net.init(jax.random.PRNGKey(0), img, pts, calib,
+                    feat_prior=feat_prior)
+
+
+class FrameState:
+    """Mutable UI state (the reference's module globals, RTL/main.py:39-46)."""
+
+    def __init__(self):
+        self.desktop_mode = MODES["desktop"]
+        self.server_mode = MODES["server"]
+        self.view_mode = MODES["view"]
+        self.latest_jpeg: bytes | None = None
+        self.lock = threading.Lock()
+
+
+def build_pipeline(args, cfg, state: FrameState):
+    netG, params_g, netC, params_c = load_networks(cfg)
+    if params_g is None:
+        params_g = _init_random_params(netG)
+    if netC is not None and params_c is None:
+        params_c = _init_random_params(netC)
+
+    recon = HierarchicalRecon(
+        resolutions=tuple(cfg.recon.resolutions),
+        budgets=tuple(cfg.recon.budgets),
+        boundary_tau=cfg.recon.boundary_tau,
+        dilate=cfg.recon.dilate,
+        balance_value=cfg.recon.balance_value)
+    engine = ReconEngine(netG, netC, recon=recon)
+    seg = Segmentation(variables=None)  # box-prior fallback (no ckpt)
+    scene = MonoPortScene(size=(256, 256))
+
+    mean = np.asarray(cfg.netG.mean, np.float32)
+    std = np.asarray(cfg.netG.std, np.float32)
+
+    def stage_segment(frame):
+        """Host+device preprocessing: segmentation, camera, calib
+        (stages 2-6 of RTL/main.py:326-364)."""
+        image = jnp.asarray(frame[None])                 # [1, H, W, 3] 0..1
+        segm, bboxes, probs = seg(image)
+        if state.view_mode in _VIEW_ANGLES:
+            from ..render.camera import orbit_extrinsic
+            yaw, pitch = _VIEW_ANGLES[state.view_mode]
+            extrinsic = orbit_extrinsic(yaw, pitch)
+            intrinsic = scene.intrinsic
+        else:
+            extrinsic, intrinsic = scene.update_camera(
+                load=(state.view_mode == "LOAD"))
+        calib = jnp.asarray(pifu_calib(extrinsic, intrinsic))
+        rgb = segm[..., :3]
+        alpha = segm[..., 3:4]
+        input_g = (((rgb * 0.5 + 0.5) - mean) / std) * alpha
+        input_c = rgb * alpha
+        return {"segm": segm, "input_netG": input_g, "input_netC": input_c,
+                "calib": calib, "extrinsic": np.array(extrinsic),
+                "intrinsic": np.array(intrinsic)}
+
+    def stage_device(d):
+        """The fused on-device frame program (stages 7-15)."""
+        out = engine.frame(params_g, d["input_netG"], params_c,
+                           d["input_netC"], d["calib"])
+        d.update(out)
+        return d
+
+    def stage_composite(d):
+        """Composite over the rendered floor background + JPEG encode
+        (RTL/main.py:535-557)."""
+        render_key = ("render_tex" if state.server_mode == "TEXTURE"
+                      and "render_tex" in d else "render_norm")
+        # degenerate iso-crossings yield NaN normals (same as the
+        # reference's v2==v1 divide, RTL/recon.py:77); sanitize for display
+        fg = np.nan_to_num(np.asarray(d[render_key]), nan=1.0)
+        mask = np.asarray(d["mask"]).astype(np.float32)
+        background = scene.render(d["extrinsic"], d["intrinsic"])
+        frame = mask * fg + (1.0 - mask) * background
+        d["window_server"] = np.clip(frame, 0, 1)
+        try:
+            import cv2
+            ok, enc = cv2.imencode(
+                ".jpg", (d["window_server"][..., ::-1] * 255).astype(np.uint8))
+            if ok:
+                with state.lock:
+                    state.latest_jpeg = enc.tobytes()
+        except ImportError:
+            pass
+        return d
+
+    stage_segment.__name__ = "segment"
+    stage_device.__name__ = "device_frame"
+    stage_composite.__name__ = "composite"
+
+    stream = open_stream(camera=args.camera, videos=args.videos,
+                         images=args.images, image_folder=args.image_folder,
+                         loop=args.loop)
+    return Pipeline(stream, [stage_segment, stage_device, stage_composite],
+                    max_queue=2, name="rtl")
+
+
+class MJPEGHandler(BaseHTTPRequestHandler):
+    state: FrameState = None  # set by serve()
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(
+                b"<html><body><img src='/video_feed'/></body></html>")
+            return
+        if self.path != "/video_feed":
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "multipart/x-mixed-replace; boundary=frame")
+        self.end_headers()
+        try:
+            while True:
+                with self.state.lock:
+                    jpeg = self.state.latest_jpeg
+                if jpeg is not None:
+                    self.wfile.write(b"--frame\r\n"
+                                     b"Content-Type: image/jpeg\r\n\r\n")
+                    self.wfile.write(jpeg)
+                    self.wfile.write(b"\r\n")
+                time.sleep(1.0 / 30)
+        except (BrokenPipeError, ConnectionResetError):
+            return
+
+
+_HOTKEYS = {"q": ("desktop_mode", "SEGM"), "w": ("desktop_mode", "NORM"),
+            "e": ("desktop_mode", "TEXTURE"),
+            "r": ("desktop_mode", "TEXTURE_NORM"),
+            "s": ("server_mode", "NORM"), "d": ("server_mode", "TEXTURE"),
+            "z": ("view_mode", "FRONT"), "x": ("view_mode", "BACK"),
+            "c": ("view_mode", "LEFT"), "v": ("view_mode", "RIGHT"),
+            "b": ("view_mode", "AUTO"), "n": ("view_mode", "LOAD")}
+
+
+def main_loop(args, cfg, state: FrameState):
+    pipeline = build_pipeline(args, cfg, state)
+    n = 0
+    for d in pipeline:
+        n += 1
+        if args.desktop:
+            _desktop_window(d, state)
+        if args.max_frames and n >= args.max_frames:
+            pipeline.close()
+            break
+    print(pipeline.report())
+    return n
+
+
+def _desktop_window(d, state: FrameState):  # pragma: no cover - UI path
+    import cv2
+
+    segm = np.asarray(d["segm"][0])
+    input_img = segm[..., :3] * 0.5 + 0.5
+    if state.desktop_mode == "SEGM":
+        seg_img = (segm[..., :3] * segm[..., 3:4]) * 0.5 + 0.5
+        window = np.hstack([input_img, seg_img])
+    else:
+        fg = np.asarray(d.get("render_tex", d["render_norm"]))
+        norm = np.asarray(d["render_norm"])
+        if state.desktop_mode == "TEXTURE_NORM":
+            window = np.vstack([fg, norm])
+        else:
+            key = "NORM" if state.desktop_mode == "NORM" else "TEXTURE"
+            img = norm if key == "NORM" else fg
+            img = cv2.resize(img, input_img.shape[:2][::-1])
+            window = np.hstack([input_img, img])
+    cv2.imshow("monoport_tpu", window[..., ::-1])
+    key = cv2.waitKey(1)
+    if key > 0 and chr(key & 0xFF) in _HOTKEYS:
+        attr, value = _HOTKEYS[chr(key & 0xFF)]
+        setattr(state, attr, value)
+
+
+def main(argv=None):
+    args, cfg = parse_args(argv)
+    state = FrameState()
+    if args.use_server:
+        MJPEGHandler.state = state
+        server = ThreadingHTTPServer((args.ip, args.port), MJPEGHandler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        print(f"MJPEG server at http://{args.ip}:{args.port}/video_feed")
+    return main_loop(args, cfg, state)
+
+
+if __name__ == "__main__":
+    main()
