@@ -89,16 +89,27 @@ def main():
 
     frame = jax.jit(frame_impl)
 
-    # warmup / compile
+    # warmup / compile; force full materialization with a host fetch
+    # (block_until_ready does NOT block on the tunneled axon backend)
     out = frame(params_g, params_c, image, image, calib)
-    jax.block_until_ready(out)
+    _ = np.asarray(out["mask"].sum())
 
+    # measure the host fetch RTT so it can be subtracted
+    t0 = time.perf_counter()
+    for i in range(3):
+        _ = np.asarray((image.sum() * (i + 1)))
+    rtt = (time.perf_counter() - t0) / 3
+
+    # chain iterations through a data dependency so the device must run
+    # them sequentially; one tiny fetch at the end materializes the chain
     iters = 20
     t0 = time.perf_counter()
+    img = image
     for _ in range(iters):
-        out = frame(params_g, params_c, image, image, calib)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        out = frame(params_g, params_c, img, img, calib)
+        img = img + out["mask"].astype(jnp.float32).sum() * 1e-12
+    _ = np.asarray(img[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt
 
     print(json.dumps({
