@@ -26,9 +26,18 @@ from ...ops.resize import avg_pool_2d, upsample2x_bicubic
 PAD1 = ((1, 1), (1, 1))
 
 
-def make_norm(norm: str, name: str) -> nn.Module:
+def adaptive_groups(channels: int, max_groups: int = 32) -> int:
+    """Largest divisor of ``channels`` that is <= max_groups."""
+    for g in range(min(max_groups, channels), 0, -1):
+        if channels % g == 0:
+            return g
+    return 1
+
+
+def make_norm(norm: str, name: str, channels: int | None = None) -> nn.Module:
     if norm == "group":
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+        groups = 32 if channels is None else adaptive_groups(channels)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)
     if norm == "batch":
         # inference-mode batch norm (running stats); PIFu configs use group
         return nn.BatchNorm(use_running_average=True, epsilon=1e-5, name=name)

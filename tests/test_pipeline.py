@@ -125,3 +125,32 @@ def test_obj_quads_and_negative_indices():
         assert v.shape == (4, 3)
         np.testing.assert_array_equal(
             faces, [[0, 1, 2], [0, 2, 3], [0, 1, 2]])
+
+
+def test_native_objloader_matches_python(tmp_path):
+    from monoport_tpu.utils.objloader_native import (available,
+                                                     load_obj_fast)
+    from monoport_tpu.utils import load_obj_mesh, save_obj_mesh
+
+    rng = np.random.RandomState(0)
+    verts = rng.randn(500, 3).astype(np.float32)
+    faces = rng.randint(0, 500, (900, 3)).astype(np.int64)
+    path = str(tmp_path / "big.obj")
+    save_obj_mesh(path, verts, faces)
+
+    v_py, f_py = load_obj_mesh(path)
+    v_c, f_c = load_obj_fast(path)
+    assert available(), "native objloader should build in this image"
+    np.testing.assert_allclose(v_c, v_py, atol=1e-6)
+    np.testing.assert_array_equal(f_c, f_py)
+
+
+def test_native_objloader_quads_negatives(tmp_path):
+    from monoport_tpu.utils.objloader_native import load_obj_fast
+    path = str(tmp_path / "q.obj")
+    with open(path, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                "f 1/1/1 2/2/2 3/3/3 4/4/4\nf -4 -3 -2\n")
+    v, faces = load_obj_fast(path)
+    assert v.shape == (4, 3)
+    np.testing.assert_array_equal(faces, [[0, 1, 2], [0, 2, 3], [0, 1, 2]])
