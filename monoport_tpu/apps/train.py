@@ -1,0 +1,87 @@
+"""Training entry point (the reference ships Trainer scaffolding but no
+train script, SURVEY §2.1 — this completes it).
+
+Run:
+    python -m monoport_tpu.apps.train --dataset synthetic --epochs 2 \
+        -- batch_size 4 optim adam learning_rate 1e-3
+    python -m monoport_tpu.apps.train --dataset ppl_dynamic \
+        -- dataset.root_render /data/pifu_orth
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+
+from ..config import get_cfg_defaults
+from ..models import MonoPortNet
+from ..training import Trainer
+from ..training.datasets import (PPLDynamicDataset, PPLStaticDataset,
+                                 SyntheticBlobDataset, make_batches)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="synthetic",
+                        choices=["synthetic", "ppl_dynamic", "ppl_static"])
+    parser.add_argument("--net", default="netG", choices=["netG", "netC"])
+    parser.add_argument("--epochs", type=int, default=0,
+                        help="override cfg.num_epoch")
+    parser.add_argument("--steps_per_epoch", type=int, default=0)
+    parser.add_argument("--image_size", type=int, default=512)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--" in argv:
+        split = argv.index("--")
+        argv, opts = argv[:split], argv[split + 1:]
+    else:
+        opts = []
+    args = parser.parse_args(argv)
+    cfg = get_cfg_defaults()
+    cfg.merge_from_list(opts)
+    cfg.freeze()
+    return args, cfg
+
+
+def build_dataset(args, cfg):
+    if args.dataset == "synthetic":
+        return SyntheticBlobDataset(
+            size=args.image_size,
+            num_sample_geo=cfg.dataset.num_sample_geo,
+            length=max(8, cfg.batch_size * 4))
+    if args.dataset == "ppl_dynamic":
+        return PPLDynamicDataset(cfg.dataset, cfg.dataset.root_render)
+    return PPLStaticDataset(cfg.dataset, cfg.dataset.root_render)
+
+
+def to_train_batch(batch: dict) -> dict:
+    labels = batch["labels_geo"]
+    if labels.ndim == 2:
+        labels = labels[..., None]
+    return {"images": batch["image"], "points": batch["samples_geo"],
+            "calibs": batch["calib"], "labels": labels}
+
+
+def main(argv=None):
+    args, cfg = parse_args(argv)
+    net = MonoPortNet(cfg.netG if args.net == "netG" else cfg.netC)
+    dataset = build_dataset(args, cfg)
+    trainer = Trainer(net, cfg)
+    epochs = args.epochs or cfg.num_epoch
+
+    last = float("nan")
+    for epoch in range(trainer.epoch, epochs):
+        batches = (jax.tree.map(np.asarray, to_train_batch(b))
+                   for b in make_batches(dataset, cfg.batch_size,
+                                         seed=epoch))
+        last = trainer.train_epoch(batches, epoch)
+        trainer.logger.info("epoch %d done, mean loss %.5f", epoch, last)
+        trainer.update_ckpt(f"epoch_{epoch}", epoch, trainer.iteration)
+    return last
+
+
+if __name__ == "__main__":
+    main()

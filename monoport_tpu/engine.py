@@ -34,17 +34,30 @@ class ReconEngine:
 
     def __init__(self, netG: MonoPortNet, netC: Optional[MonoPortNet] = None,
                  recon: Optional[HierarchicalRecon] = None,
-                 render_size: int = 256, direction: str = "front"):
+                 render_size: int = 256, direction: str = "front",
+                 compute_dtype=jnp.float32):
         self.netG = netG
         self.netC = netC
         self.recon = recon or HierarchicalRecon()
         self.render_size = render_size
         self.direction = direction
+        self.compute_dtype = compute_dtype
         self._frame = jax.jit(self._frame_impl)
+
+    def _cast(self, tree):
+        if self.compute_dtype == jnp.float32 or tree is None:
+            return tree
+        return jax.tree.map(
+            lambda t: t.astype(self.compute_dtype)
+            if hasattr(t, "dtype") and t.dtype == jnp.float32 else t, tree)
 
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
                     image_c: Optional[jax.Array], calib: jax.Array):
         resolution = self.recon.resolutions[-1]
+        params_g = self._cast(params_g)
+        params_c = self._cast(params_c)
+        image_g = self._cast(image_g)
+        image_c = self._cast(image_c)
         feats_g = self.netG.apply(params_g, image_g, method="filter")
 
         def query_occ(pts):

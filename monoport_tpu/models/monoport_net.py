@@ -75,8 +75,11 @@ class MonoPortNet(nn.Module):
         z_feat = self.normalizer(z)
         preds = []
         for feats in feats_stages:
+            # features set the compute dtype (bf16 fast path): the z
+            # channel follows so the head GEMMs stay uniform
+            z_cast = z_feat.astype(feats[0].dtype)
             point_local_feat = jnp.concatenate(
-                [index(f, xy) for f in feats] + [z_feat], axis=-1)
+                [index(f, xy) for f in feats] + [z_cast], axis=-1)
             pred = self.surface_classifier(point_local_feat)
             preds.append(in_img[..., None].astype(pred.dtype) * pred)
         return preds

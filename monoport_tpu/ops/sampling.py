@@ -55,7 +55,10 @@ def grid_sample_2d(feat: jax.Array, uv: jax.Array,
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         idx = yc * w + xc  # [B, N]
         vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
-        return vals * (wgt * valid.astype(feat.dtype))[..., None]
+        # weights computed in f32, applied in the feature dtype so a bf16
+        # feature map keeps the whole sample+MLP path in bf16
+        return vals * (wgt * valid.astype(jnp.float32)).astype(
+            feat.dtype)[..., None]
 
     out = (tap(y0, x0, wy0 * wx0) + tap(y0, x1, wy0 * wx1)
            + tap(y1, x0, wy1 * wx0) + tap(y1, x1, wy1 * wx1))

@@ -27,7 +27,6 @@ class SurfaceMaps(NamedTuple):
     depth: jax.Array    # [R, R] float voxel-space depth along the ray axis
     normal: jax.Array   # [R, R, 3] unit normals
     valid: jax.Array    # [R, R] bool — ray hit the surface
-    ray_view: jax.Array  # [R, R, R] the view-aligned volume (internal reuse)
 
 
 def _orient(vol: jax.Array, direction: str) -> jax.Array:
@@ -45,38 +44,50 @@ def _orient(vol: jax.Array, direction: str) -> jax.Array:
 
 def depth_peel(vol: jax.Array, direction: str = "front",
                balance_value: float = 0.5) -> SurfaceMaps:
-    """First-hit surface along the view ray (RTL/recon.py:51-89, dense)."""
+    """First-hit surface along the view ray (RTL/recon.py:51-89, dense).
+
+    TPU note: the math is identical to the reference's flip+permute view
+    ``sdf_all[a, b, c] = vol[R-1-c, b, a]``, but everything reduces along
+    vol's leading axis directly — no 17M-element 3D transpose is ever
+    materialized; only the final [R, R] maps are (cheaply) transposed.
+    """
     r = vol.shape[0]
     vol = _orient(vol, direction)
-    # sdf_all[a, b, c] = vol[R-1-c, b, a]: a = x, b = y, c = depth-from-viewer
-    sdf = jnp.transpose(vol[::-1], (2, 1, 0))
 
-    occupied = sdf > balance_value
-    valid = occupied.any(axis=2)
-    # first occupied c per ray: argmax of descending weights on occupied
-    weights = occupied * jnp.arange(r, 0, -1, dtype=jnp.float32)
-    c1 = jnp.argmax(weights, axis=2)                       # [R, R]
+    # ray enters at i = R-1 (c = 0); first hit = LARGEST occupied i
+    # (int32 weights: exact for any R and cheaper than f32 on the VPU)
+    occupied = vol > balance_value                         # [i, j, k]
+    valid_jk = occupied.any(axis=0)                        # [j, k]
+    weights = occupied * jnp.arange(
+        1, r + 1, dtype=jnp.int32)[:, None, None]
+    i1 = jnp.argmax(weights, axis=0)                       # [j, k]
+    c1 = (r - 1) - i1
     c2 = jnp.clip(c1 - 2, 0, r)
+    i2 = (r - 1) - c2
 
-    take = lambda s, c: jnp.take_along_axis(s, c[..., None], axis=2)[..., 0]
-    v1 = take(sdf, c1)
-    v2 = take(sdf, c2)
+    take0 = lambda s, i: jnp.take_along_axis(
+        s, i[None], axis=0)[0].astype(jnp.float32)
+    v1 = take0(vol, i1)
+    v2 = take0(vol, i2)
     # sub-voxel crossing of the 0.5 iso-level between c2 and c1
     denom = v2 - v1
     z = (c2.astype(jnp.float32) * (balance_value - v1)
          + c1.astype(jnp.float32) * (v2 - balance_value)) / denom
     z = jnp.clip(z, 0.0, float(r))
 
-    # normals from 2-voxel backward differences (RTL/recon.py:81-87)
-    shift_b = jnp.pad(sdf, ((0, 0), (2, 0), (0, 0)),
-                      mode="edge")[:, :r, :]               # b-2 (clamped)
-    shift_a = jnp.pad(sdf, ((2, 0), (0, 0), (0, 0)),
-                      mode="edge")[:r, :, :]               # a-2 (clamped)
-    v3 = take(shift_b, c1)
-    v4 = take(shift_a, c1)
+    # normals from 2-voxel backward differences (RTL/recon.py:81-87):
+    # v3 at (a, b-2, c1) -> vol[i1, j-2, k]; v4 at (a-2, b, c1) ->
+    # vol[i1, j, k-2]; clamped-to-edge like the reference's index clamp
+    shift_j = jnp.pad(vol, ((0, 0), (2, 0), (0, 0)), mode="edge")[:, :r]
+    shift_k = jnp.pad(vol, ((0, 0), (0, 0), (2, 0)), mode="edge")[..., :r]
+    v3 = take0(shift_j, i1)
+    v4 = take0(shift_k, i1)
     norm = jnp.stack([v4 - v1, v3 - v1, v2 - v1], axis=-1)
     norm = norm / jnp.linalg.norm(norm, axis=-1, keepdims=True)
-    return SurfaceMaps(depth=z, normal=norm, valid=valid, ray_view=sdf)
+
+    # outputs are indexed [a = x, b = y]: transpose the 2D maps
+    t = lambda m: jnp.swapaxes(m, 0, 1)
+    return SurfaceMaps(depth=t(z), normal=t(norm), valid=t(valid_jk))
 
 
 def shade_normal(maps: SurfaceMaps) -> jax.Array:

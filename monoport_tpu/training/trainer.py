@@ -54,8 +54,21 @@ class Trainer:
         self.tx = make_optimizer(cfg.optim, cfg.learning_rate,
                                  cfg.weight_decay, cfg.momentum,
                                  tuple(milestones), cfg.gamma)
-        self.mesh = make_mesh() if use_mesh and len(
-            jax.devices()) > 1 else None
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if use_mesh and n_dev > 1:
+            # dp must divide the batch; sp must divide the point count —
+            # pick the largest dp that divides both batch_size and n_dev,
+            # and only keep a points axis if it can be even
+            dp = 1
+            while (dp * 2 <= n_dev and cfg.batch_size % (dp * 2) == 0
+                   and n_dev % (dp * 2) == 0):
+                dp *= 2
+            sp = n_dev // dp
+            if cfg.dataset.num_sample_geo % sp == 0:
+                self.mesh = make_mesh(dp=dp)
+            elif dp > 1:
+                self.mesh = make_mesh(n_devices=dp, dp=dp)
         self.step_fn = make_train_step(net, mesh=self.mesh)
         self.state: Optional[TrainState] = None
 

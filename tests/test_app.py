@@ -45,3 +45,35 @@ def test_rtl_cli_convention():
                             "learning_rate", "0.5"])
     assert args.camera and args.port == 7777
     assert cfg.learning_rate == 0.5
+
+
+def test_infer_mesh_export(frames_dir, tmp_path):
+    from monoport_tpu.apps.infer import main
+    import glob
+    img = sorted(glob.glob(frames_dir + "/*.jpg"))[0]
+    out = str(tmp_path / "mesh.obj")
+    n = main(["--image", img, "--out", out, "--max_cells", "8192", "--",
+              "recon.resolutions", "[9,17,33]",
+              "recon.budgets", "[0,2048,8192]",
+              "netG.backbone.num_stack", "1",
+              "netG.backbone.num_hourglass", "1",
+              "netG.backbone.hourglass_dim", "32"])
+    import os
+    assert os.path.exists(out)
+
+
+def test_train_cli_synthetic(tmp_path):
+    from monoport_tpu.apps.train import main
+    loss = main(["--dataset", "synthetic", "--epochs", "1",
+                 "--image_size", "64", "--",
+                 "batch_size", "2",
+                 "optim", "adam",
+                 "dataset.num_sample_geo", "128",
+                 "freq_plot", "1", "freq_save", "100000",
+                 "checkpoints_path", str(tmp_path / "c"),
+                 "results_path", str(tmp_path / "r"),
+                 "netG.backbone.num_stack", "1",
+                 "netG.backbone.num_hourglass", "1",
+                 "netG.backbone.hourglass_dim", "32"])
+    import numpy as np
+    assert np.isfinite(loss)
