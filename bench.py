@@ -1,18 +1,24 @@
-"""End-to-end benchmark: full-frame volumetric recon at 257^3 on one chip.
+"""End-to-end benchmark: full-frame volumetric capture on one chip.
 
-Measures the flagship path (BASELINE.json metric: "end-to-end recon FPS at
-256^3"): netG hourglass filter on a 512x512 frame -> hierarchical occupancy
-(17->257, static-budget levels) -> depth peel -> netC texture query ->
-256^2 render maps, all as one jitted program (monoport_tpu.engine).
+Measures the flagship real-time path (BASELINE.json: "end-to-end recon FPS
+at 256^3"): netG hourglass filter on a 512x512 frame -> hierarchical
+occupancy to 129^3 -> per-ray fine refinement at 257-equivalent depth
+resolution (recon/ray_refine.py) -> normal shading -> netC texture query ->
+256^2 render maps, all as ONE jitted program in bf16 (fp32 coordinate and
+iso-crossing math).
 
-No pretrained checkpoints are reachable in this environment (zero egress),
-so weights are random; to keep the hierarchy's candidate counts realistic
-(a human-scale surface, not a degenerate random field), the benchmarked
-query runs the REAL netG sampling+MLP compute and then selects an analytic
-ellipsoid occupancy from it via jnp.where — identical FLOPs/memory traffic,
-representative sparsity. vs_baseline is FPS / 30 (the north-star target).
+No pretrained checkpoints are reachable here (zero egress), so weights are
+random; to keep refinement-band sizes realistic (a human-scale surface,
+not a degenerate random field) the benchmarked query runs the REAL netG
+sampling+MLP compute and then selects an analytic ellipsoid occupancy via
+jnp.where — identical FLOPs and memory traffic, representative sparsity.
 
-Prints ONE JSON line.
+Timing: the tunneled axon backend neither blocks on block_until_ready nor
+dispatches un-jitted ops cheaply, so K frames run on-device inside one
+lax.fori_loop chained by a data dependency; one scalar fetch materializes
+the chain and the measured fetch RTT is subtracted.
+
+Prints ONE JSON line; vs_baseline = FPS / 30 (the north-star target).
 """
 
 import json
@@ -24,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def build_frame():
     from monoport_tpu import get_cfg_defaults
     from monoport_tpu.engine import ReconEngine
     from monoport_tpu.models import MonoPortNet
@@ -45,18 +51,17 @@ def main():
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
 
     recon = HierarchicalRecon(
-        resolutions=tuple(cfg.recon.resolutions),
-        budgets=tuple(cfg.recon.budgets),
+        resolutions=(17, 33, 65, 129),
+        budgets=(0, 8192, 32768, 131072),
         boundary_tau=cfg.recon.boundary_tau,
         dilate=cfg.recon.dilate,
-        balance_value=cfg.recon.balance_value,
-    )
-    engine = ReconEngine(netG, netC, recon=recon,
-                         compute_dtype=jnp.bfloat16)
+        balance_value=cfg.recon.balance_value)
+    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
+                         ray_taps=6, compute_dtype=jnp.bfloat16)
 
-    # Bench frame: engine._frame_impl with the occupancy query wrapped to
-    # keep full model compute but select an analytic ellipsoid (see module
-    # docstring).
+    from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
+    from monoport_tpu.recon.ray_refine import ray_refine
+
     def frame_impl(params_g, params_c, image_g, image_c, calib_t):
         params_g = engine._cast(params_g)
         params_c = engine._cast(params_c)
@@ -73,10 +78,9 @@ def main():
             analytic = jax.nn.sigmoid((1.0 - d) * 20.0)[..., None]
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
 
-        from monoport_tpu.recon.depth_peel import (colorize, depth_peel,
-                                                   shade_normal, visualize)
         vol = engine.recon(query_occ)
-        maps = depth_peel(vol, engine.direction, engine.recon.balance_value)
+        maps = ray_refine(query_occ, vol, engine.fine_res,
+                          taps=engine.ray_taps)
         render_norm, mask = visualize(shade_normal(maps), engine.render_size)
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_c, feat_prior,
@@ -86,17 +90,16 @@ def main():
             return engine.netC.apply(params_c, feats_c, pts, calib_t,
                                      method="query")[0]
 
-        tex_canvas = colorize(maps, query_color,
-                              engine.recon.resolutions[-1])
+        tex_canvas = colorize(maps, query_color, engine.fine_res)
         render_tex, mask_tex = visualize(tex_canvas, engine.render_size)
         return {"render_norm": render_norm, "render_tex": render_tex,
-                "mask": mask_tex, "sdf": vol}
+                "mask": mask_tex}
 
-    # Timing methodology for the tunneled TPU backend: block_until_ready
-    # does not actually block and every un-jitted host dispatch is
-    # expensive, so the K-frame loop runs ON DEVICE (lax.fori_loop with a
-    # data dependency between frames) and a single scalar fetch at the end
-    # materializes the chain; the measured fetch RTT is subtracted.
+    return frame_impl, params_g, params_c, image, calib
+
+
+def main():
+    frame_impl, params_g, params_c, image, calib = build_frame()
     iters = 20
 
     @jax.jit
@@ -121,8 +124,9 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "end-to-end recon FPS at 256^3 (netG filter + hierarchical"
-                  " occupancy + depth peel + netC texture, single chip)",
+        "metric": "end-to-end recon FPS at 256^3-equivalent (netG filter +"
+                  " hierarchical occupancy + ray-refined depth/normals +"
+                  " netC texture, single chip, one fused program)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),

@@ -35,13 +35,21 @@ class ReconEngine:
     def __init__(self, netG: MonoPortNet, netC: Optional[MonoPortNet] = None,
                  recon: Optional[HierarchicalRecon] = None,
                  render_size: int = 256, direction: str = "front",
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, mode: str = "dense",
+                 fine_res: int = 257, ray_taps: int = 6):
+        """mode='dense': full hierarchical volume at the final resolution
+        (exact, returns sdf). mode='ray': coarse volume + per-ray fine
+        refinement (recon/ray_refine.py) — the real-time path."""
+        assert mode in ("dense", "ray")
         self.netG = netG
         self.netC = netC
         self.recon = recon or HierarchicalRecon()
         self.render_size = render_size
         self.direction = direction
         self.compute_dtype = compute_dtype
+        self.mode = mode
+        self.fine_res = fine_res
+        self.ray_taps = ray_taps
         self._frame = jax.jit(self._frame_impl)
 
     def _cast(self, tree):
@@ -53,7 +61,6 @@ class ReconEngine:
 
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
                     image_c: Optional[jax.Array], calib: jax.Array):
-        resolution = self.recon.resolutions[-1]
         params_g = self._cast(params_g)
         params_c = self._cast(params_c)
         image_g = self._cast(image_g)
@@ -65,8 +72,19 @@ class ReconEngine:
                                    method="query")[0]
 
         vol = self.recon(query_occ)
-        maps = depth_peel(vol, self.direction,
-                          self.recon.balance_value)
+        if self.mode == "ray":
+            from .recon.ray_refine import ray_refine
+            resolution = self.fine_res
+            maps = ray_refine(query_occ, vol, self.fine_res,
+                              taps=self.ray_taps,
+                              balance_value=self.recon.balance_value,
+                              b_min=self.recon.b_min,
+                              b_max=self.recon.b_max,
+                              direction=self.direction)
+        else:
+            resolution = self.recon.resolutions[-1]
+            maps = depth_peel(vol, self.direction,
+                              self.recon.balance_value)
         norm_canvas = shade_normal(maps)
         render_norm, mask = visualize(norm_canvas, self.render_size)
         out = {"sdf": vol, "depth": maps.depth, "valid": maps.valid,

@@ -48,6 +48,10 @@ class HierarchicalRecon:
     budgets: Sequence[int] = (0, 16384, 65536, 131072, 262144)
     boundary_tau: float = 0.2
     dilate: int = 1
+    # 'first': first-K candidates in scan order (cheapest). 'uncertain':
+    # order by |occ - balance| so budget overflow drops the most-confident
+    # voxels first — the Seg3dTopk fixed-budget idea (SURVEY §2.3).
+    select: str = "first"
 
     def __post_init__(self):
         assert len(self.budgets) == len(self.resolutions)
@@ -84,7 +88,23 @@ class HierarchicalRecon:
         # scatter-free compaction + write-back (ops/compaction.py): the
         # measured TPU cost of flatnonzero+scatter at 257^3 is ~470ms;
         # batched-cumsum select + rank gather is ~4x cheaper and fuses
-        idx, rank, _ = select_k(cand, budget)
+        if self.select == "uncertain":
+            # two-tier priority (Seg3dTopk-style): most-uncertain voxels
+            # survive budget overflow
+            close = jnp.abs(occ_up - self.balance_value) < (
+                self.boundary_tau * 0.5)
+            hi = cand & close
+            lo = cand & ~close
+            idx_hi, rank_hi, total_hi = select_k(hi, budget)
+            idx_lo, rank_lo, _ = select_k(lo, budget)
+            ks = jnp.arange(budget)
+            take_lo = ks >= total_hi
+            idx = jnp.where(take_lo,
+                            idx_lo[jnp.clip(ks - total_hi, 0, budget - 1)],
+                            idx_hi)
+            rank = jnp.where(hi, rank_hi, rank_lo + total_hi)
+        else:
+            idx, rank, _ = select_k(cand, budget)
         n_vox = res ** 3
         safe = jnp.where(idx < n_vox, idx, 0)
         # flat index -> (i=z, j=y, k=x) -> world

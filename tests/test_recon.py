@@ -113,3 +113,48 @@ def test_pifu_calib_matches_reference():
     want = ref_calib(extrinsic, intrinsic, device="cpu").numpy()
     got = pifu_calib(extrinsic, intrinsic)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ray_refine_matches_full_depth_peel():
+    """Ray-refined depth/normals vs the exact fine-volume depth peel."""
+    from monoport_tpu.recon.ray_refine import ray_refine
+
+    fine_res = 65
+    recon_c = HierarchicalRecon(resolutions=(9, 17, 33),
+                                budgets=(0, 4096, 16384))
+    vol_c = recon_c(sphere_query)
+    maps_fast = ray_refine(sphere_query, vol_c, fine_res, taps=6)
+
+    vol_f = dense_eval(sphere_query, fine_res, chunk=16384)
+    maps_ref = depth_peel(jnp.asarray(vol_f), "front")
+
+    vf = np.asarray(maps_ref.valid)
+    vg = np.asarray(maps_fast.valid)
+    # valid masks agree except at the silhouette rim (1-2 rays)
+    both = vf & vg
+    assert both.sum() > 0.8 * vf.sum()
+
+    # interior comparison: drop a 2-ray rim
+    import scipy.ndimage as ndi
+    interior = ndi.binary_erosion(vf, iterations=3) & both
+    d_ref = np.asarray(maps_ref.depth)
+    d_fast = np.asarray(maps_fast.depth)
+    assert np.abs(d_ref[interior] - d_fast[interior]).max() < 1.5
+
+    n_ref = np.asarray(maps_ref.normal)
+    n_fast = np.asarray(maps_fast.normal)
+    ok = interior & np.isfinite(n_ref).all(-1) & np.isfinite(n_fast).all(-1)
+    cos = np.sum(n_ref[ok] * n_fast[ok], axis=-1)
+    assert np.median(cos) > 0.97, np.median(cos)
+
+
+def test_hierarchy_uncertain_selection():
+    """Seg3dTopk-style priority: under budget pressure, the refined set
+    prefers the most-uncertain voxels and stays lossless near the surface."""
+    tight = HierarchicalRecon(resolutions=(9, 17, 33),
+                              budgets=(0, 4096, 16384),
+                              select="uncertain")
+    occ_u = tight(sphere_query)
+    occ_d = dense_eval(sphere_query, 33, chunk=8192)
+    np.testing.assert_array_equal(np.asarray(occ_u) > 0.5,
+                                  np.asarray(occ_d) > 0.5)
