@@ -54,7 +54,8 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
 
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
-    pad = int(jnp.ceil(scale)) + 1
+    import math
+    pad = math.ceil(scale) + 1
     offsets = jnp.linspace(-pad, pad + 1, taps, dtype=jnp.float32)
     c_taps = depth_f[..., None] + offsets                       # [rf, rf, T]
     c_taps = jnp.clip(c_taps, 0.0, rf - 1)
