@@ -103,13 +103,16 @@ def main():
     iters = 20
 
     @jax.jit
-    def bench_loop(img):
+    def bench_loop(params_g, params_c, img):
+        # params enter as jit arguments (NOT closure constants: embedding
+        # ~60MB of weights as IR literals blows up compile time and can
+        # crash the TPU backend's register allocator)
         def body(_, img):
             out = frame_impl(params_g, params_c, img, img, calib)
             return img + out["mask"].astype(jnp.float32).sum() * 1e-12
         return jax.lax.fori_loop(0, iters, body, img)
 
-    out = bench_loop(image)           # compile + run
+    out = bench_loop(params_g, params_c, image)   # compile + run
     _ = np.asarray(out[0, 0, 0, 0])
 
     t0 = time.perf_counter()
@@ -118,7 +121,7 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
 
     t0 = time.perf_counter()
-    out = bench_loop(image)
+    out = bench_loop(params_g, params_c, image)
     _ = np.asarray(out[0, 0, 0, 0])
     dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt

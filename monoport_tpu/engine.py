@@ -36,10 +36,13 @@ class ReconEngine:
                  recon: Optional[HierarchicalRecon] = None,
                  render_size: int = 256, direction: str = "front",
                  compute_dtype=jnp.float32, mode: str = "dense",
-                 fine_res: int = 257, ray_taps: int = 6):
+                 fine_res: int = 257, ray_taps: int = 6,
+                 use_pallas: bool = False, pallas_interpret: bool = False):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
-        refinement (recon/ray_refine.py) — the real-time path."""
+        refinement (recon/ray_refine.py) — the real-time path.
+        use_pallas: run the surface MLPs with the fused VMEM-resident
+        Pallas kernel (ops/pallas/fused_mlp.py)."""
         assert mode in ("dense", "ray")
         self.netG = netG
         self.netC = netC
@@ -50,7 +53,26 @@ class ReconEngine:
         self.mode = mode
         self.fine_res = fine_res
         self.ray_taps = ray_taps
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
         self._frame = jax.jit(self._frame_impl)
+
+    def _head_fn(self, net: MonoPortNet, params: Any):
+        """Pallas fused-MLP head override (None -> flax head)."""
+        if not self.use_pallas:
+            return None
+        from .config import CN
+        from .models.heads import HEAD_SPECS
+        from .ops.pallas.fused_mlp import apply_packed, pack_mlp_params
+
+        chans, last_op = HEAD_SPECS[CN(net.opt_net).head.IMF]
+        dtype = (self.compute_dtype if self.compute_dtype != jnp.float32
+                 else jnp.float32)
+        packed = pack_mlp_params(params["params"]["surface_classifier"],
+                                 chans, dtype)
+        return functools.partial(apply_packed, packed, last_op=last_op,
+                                 compute_dtype=dtype,
+                                 interpret=self.pallas_interpret)
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32 or tree is None:
@@ -66,10 +88,11 @@ class ReconEngine:
         image_g = self._cast(image_g)
         image_c = self._cast(image_c)
         feats_g = self.netG.apply(params_g, image_g, method="filter")
+        head_g = self._head_fn(self.netG, params_g)
 
         def query_occ(pts):
             return self.netG.apply(params_g, feats_g, pts, calib,
-                                   method="query")[0]
+                                   method="query", head_fn=head_g)[0]
 
         vol = self.recon(query_occ)
         if self.mode == "ray":
@@ -94,10 +117,11 @@ class ReconEngine:
             feat_prior = feats_g[-1][-1]
             feats_c = self.netC.apply(params_c, image_c, feat_prior,
                                       method="filter")
+            head_c = self._head_fn(self.netC, params_c)
 
             def query_color(pts):
                 return self.netC.apply(params_c, feats_c, pts, calib,
-                                       method="query")[0]
+                                       method="query", head_fn=head_c)[0]
 
             tex_canvas = colorize(maps, query_color, resolution,
                                   self.recon.b_min, self.recon.b_max)
@@ -112,3 +136,21 @@ class ReconEngine:
         if calib is None:
             calib = jnp.eye(4, dtype=jnp.float32)[None]
         return self._frame(params_g, params_c, image_g, image_c, calib)
+
+    def frames(self, params_g: Any, images_g: jax.Array,
+               params_c: Any = None, images_c: Optional[jax.Array] = None,
+               calibs: Optional[jax.Array] = None):
+        """Batched video mode (BASELINE config #4): process a [B, H, W, 3]
+        clip in one vmapped program (per-frame recon states stay
+        independent; throughput path for offline video)."""
+        b = images_g.shape[0]
+        if calibs is None:
+            calibs = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                              (b, 1, 1))
+        images_g = images_g[:, None]                  # [B, 1, H, W, 3]
+        images_c = None if images_c is None else images_c[:, None]
+        calibs = calibs[:, None]                      # [B, 1, 4, 4]
+        fn = jax.vmap(self._frame_impl,
+                      in_axes=(None, None, 0,
+                               None if images_c is None else 0, 0))
+        return jax.jit(fn)(params_g, params_c, images_g, images_c, calibs)

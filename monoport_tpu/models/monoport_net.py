@@ -51,8 +51,11 @@ class MonoPortNet(nn.Module):
                feat_prior: Optional[jax.Array] = None) -> FeatStages:
         feats_stages = self.image_filter(images)
         if feat_prior is not None:  # netC: concat geometry prior features
-            # F.interpolate default mode is nearest (MonoPortNet.py:42)
-            feat_prior = interpolate_2d(feat_prior, (128, 128), "nearest")
+            # F.interpolate default mode is nearest (MonoPortNet.py:42);
+            # the reference hardcodes (128, 128) — the feature size at its
+            # fixed 512^2 input — generalized here to the actual map size
+            h, w = feats_stages[0][0].shape[1:3]
+            feat_prior = interpolate_2d(feat_prior, (h, w), "nearest")
             feats_stages = [
                 [jnp.concatenate([feat_prior, f], axis=-1) for f in feats]
                 for feats in feats_stages]
@@ -62,8 +65,12 @@ class MonoPortNet(nn.Module):
     def query(self, feats_stages: FeatStages, points: jax.Array,
               calibs: Optional[jax.Array] = None,
               transforms: Optional[jax.Array] = None,
-              train: bool = False) -> list[jax.Array]:
-        """Query predictions at [B, N, 3] world points -> list of [B, N, Res]."""
+              train: bool = False, head_fn=None) -> list[jax.Array]:
+        """Query predictions at [B, N, 3] world points -> list of [B, N, Res].
+
+        ``head_fn`` optionally replaces the flax surface classifier with an
+        equivalent callable (the Pallas fused-MLP kernel on the hot path).
+        """
         if not train:
             feats_stages = feats_stages[-1:]
         xyz = points if calibs is None else self.projection(
@@ -80,7 +87,10 @@ class MonoPortNet(nn.Module):
             z_cast = z_feat.astype(feats[0].dtype)
             point_local_feat = jnp.concatenate(
                 [index(f, xy) for f in feats] + [z_cast], axis=-1)
-            pred = self.surface_classifier(point_local_feat)
+            if head_fn is not None:
+                pred = head_fn(point_local_feat)
+            else:
+                pred = self.surface_classifier(point_local_feat)
             preds.append(in_img[..., None].astype(pred.dtype) * pred)
         return preds
 

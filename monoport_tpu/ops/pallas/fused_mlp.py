@@ -43,35 +43,36 @@ def pack_mlp_params(head_params: dict, filter_channels: Sequence[int],
 
     Returns dict with lists: w_h[i] [H_pad, O], w_x[i] [C_pad, O] (None for
     layer 0's w_x), b[i] [1, O]. Layer 0: w_h is the full input weight.
+    jnp-based so it works on both concrete arrays and tracers (packing can
+    run inside the jitted frame program; XLA hoists it).
     """
     chans = list(filter_channels)
     c_in = chans[0]
     c_pad = _round_up(c_in, 128)
     w_h, w_x, b = [], [], []
     for i in range(len(chans) - 1):
-        kernel = np.asarray(head_params[f"filters_{i}"]["kernel"])
-        bias = np.asarray(head_params[f"filters_{i}"]["bias"])
+        kernel = jnp.asarray(head_params[f"filters_{i}"]["kernel"])
+        bias = jnp.asarray(head_params[f"filters_{i}"]["bias"])
         out_dim = chans[i + 1]
         out_pad = _round_up(out_dim, 128)
         if i == 0:
             assert kernel.shape == (c_in, out_dim)
-            wh = np.zeros((c_pad, out_pad), np.float32)
-            wh[:c_in, :out_dim] = kernel
+            wh = jnp.zeros((c_pad, out_pad), dtype).at[
+                :c_in, :out_dim].set(kernel.astype(dtype))
             wx = None
         else:
             h_dim = chans[i]
             h_pad = _round_up(h_dim, 128)
             assert kernel.shape == (h_dim + c_in, out_dim), (
                 kernel.shape, h_dim, c_in, out_dim)
-            wh = np.zeros((h_pad, out_pad), np.float32)
-            wh[:h_dim, :out_dim] = kernel[:h_dim]
-            wx = np.zeros((c_pad, out_pad), np.float32)
-            wx[:c_in, :out_dim] = kernel[h_dim:]
-        bb = np.zeros((1, out_pad), np.float32)
-        bb[0, :out_dim] = bias
-        w_h.append(jnp.asarray(wh, dtype))
-        w_x.append(jnp.asarray(wx, dtype) if wx is not None else None)
-        b.append(jnp.asarray(bb, jnp.float32))
+            wh = jnp.zeros((h_pad, out_pad), dtype).at[
+                :h_dim, :out_dim].set(kernel[:h_dim].astype(dtype))
+            wx = jnp.zeros((c_pad, out_pad), dtype).at[
+                :c_in, :out_dim].set(kernel[h_dim:].astype(dtype))
+        bb = jnp.zeros((1, out_pad), jnp.float32).at[0, :out_dim].set(bias)
+        w_h.append(wh)
+        w_x.append(wx)
+        b.append(bb)
     return {"w_h": w_h, "w_x": w_x, "b": b, "c_in": c_in, "c_pad": c_pad,
             "out_dim": chans[-1]}
 
@@ -102,6 +103,42 @@ def _mlp_kernel(n_layers: int, last_op: str, x_ref, *refs):
     out_ref[...] = h.astype(out_ref.dtype)
 
 
+def apply_packed(packed: dict, x: jax.Array, last_op: str,
+                 tile_n: int = 512, compute_dtype=jnp.bfloat16,
+                 interpret: bool = False) -> jax.Array:
+    """Run the fused kernel on [B, N, C_in] -> [B, N, out_dim]."""
+    b, n, c = x.shape
+    p = packed
+    assert c == p["c_in"], (c, p["c_in"])
+    n_layers = len(p["w_h"])
+    tile = tile_n
+    n_pad = _round_up(n, tile)
+    xp = jnp.zeros((b, n_pad, p["c_pad"]), compute_dtype)
+    xp = xp.at[:, :n, :c].set(x.astype(compute_dtype))
+    xp = xp.reshape(b * (n_pad // tile), tile, p["c_pad"])
+
+    weights = ([w for w in p["w_h"]]
+               + [w for w in p["w_x"] if w is not None]
+               + list(p["b"]))
+    out_pad = p["b"][-1].shape[1]
+
+    kernel = functools.partial(_mlp_kernel, n_layers, last_op)
+    out = pl.pallas_call(
+        kernel,
+        grid=(xp.shape[0],),
+        in_specs=[pl.BlockSpec((1, tile, p["c_pad"]),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        out_specs=pl.BlockSpec((1, tile, out_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], tile, out_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(xp, *weights)
+    return out.reshape(b, n_pad, out_pad)[:, :n, :p["out_dim"]]
+
+
 class PallasSurfaceMLP:
     """Jit-callable fused MLP: [B, N, C_in] -> [B, N, out_dim].
 
@@ -117,46 +154,13 @@ class PallasSurfaceMLP:
                  interpret: bool = False):
         self.packed = pack_mlp_params(head_params, filter_channels,
                                       compute_dtype)
-        self.filter_channels = list(filter_channels)
         self.last_op = last_op
         self.tile_n = tile_n
         self.compute_dtype = compute_dtype
         self.interpret = interpret
-        self.n_layers = len(filter_channels) - 1
-        self._call = jax.jit(self._apply)
-
-    def _apply(self, x: jax.Array) -> jax.Array:
-        b, n, c = x.shape
-        p = self.packed
-        assert c == p["c_in"], (c, p["c_in"])
-        tile = self.tile_n
-        n_pad = _round_up(n, tile)
-        xp = jnp.zeros((b, n_pad, p["c_pad"]), self.compute_dtype)
-        xp = xp.at[:, :n, :c].set(x.astype(self.compute_dtype))
-        xp = xp.reshape(b * (n_pad // tile), tile, p["c_pad"])
-
-        weights = ([w for w in p["w_h"]]
-                   + [w for w in p["w_x"] if w is not None]
-                   + list(p["b"]))
-        out_pad = p["b"][-1].shape[1]
-
-        kernel = functools.partial(_mlp_kernel, self.n_layers, self.last_op)
-        grid = (xp.shape[0],)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec((1, tile, p["c_pad"]),
-                                   lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
-            out_specs=pl.BlockSpec((1, tile, out_pad), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((xp.shape[0], tile, out_pad),
-                                           jnp.float32),
-            interpret=self.interpret,
-        )(xp, *weights)
-        out = out.reshape(b, n_pad, out_pad)[:, :n, :p["out_dim"]]
-        return out
+        self._call = jax.jit(functools.partial(
+            apply_packed, self.packed, last_op=last_op, tile_n=tile_n,
+            compute_dtype=compute_dtype, interpret=interpret))
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self._call(x)

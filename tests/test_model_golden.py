@@ -182,3 +182,36 @@ def test_monoportnet_query_golden(ref):
     assert len(got_eval) == 1
     np.testing.assert_allclose(np.asarray(got_eval[0]).transpose(0, 2, 1),
                                want[-1], atol=5e-4, rtol=1e-3)
+
+
+def test_load_legacy_pifu_file_roundtrip(ref, tmp_path):
+    """Full file path: torch.save a legacy-keyed ckpt -> load_legacy_pifu
+    -> same outputs as the torch modules (RTL/main.py:108-112 flow)."""
+    import torch as _torch
+    from monoport_tpu.convert import load_legacy_pifu
+    from monoport_tpu.models.backbones import PIFuHGFilters
+    from monoport.lib.modeling.heads.SurfaceClassifier import (
+        PIFuNetGMLP as TorchHead)
+
+    tfilter = _torch_hg(ref)
+    thead = TorchHead()
+    thead.eval()
+    state = {}
+    for k, v in tfilter.state_dict().items():
+        state[f"image_filter.{k}"] = v
+    for k, v in thead.state_dict().items():
+        n, leaf = k.split(".")[1], k.split(".")[2]
+        state[f"surface_classifier.conv{n}.{leaf}"] = v
+    path = str(tmp_path / "net_G")
+    _torch.save(state, path)
+
+    variables = load_legacy_pifu(path, "PIFuHGFilters")
+    jnet = PIFuHGFilters(CN(HG_OPT))
+    x = RNG.randn(1, 3, 64, 64).astype(np.float32)
+    got = jnet.apply({"params": variables["params"]["image_filter"]},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    with torch.no_grad():
+        want = tfilter(torch.from_numpy(x))[-1][0].numpy()
+    np.testing.assert_allclose(
+        np.asarray(got[-1][0]).transpose(0, 3, 1, 2), want,
+        atol=2e-4, rtol=1e-3)
