@@ -252,13 +252,24 @@ class PrtRender(_BaseRender):
     """Precomputed radiance transfer render (gl/PrtRender.py + prt.vs/fs):
     attrib 1 = uvs, attrib 2 = per-vertex PRT coeffs [F*3, 9]; the GLSL
     per-vertex band rotation (prt.vs:45-131) becomes an exact 9x9 SH
-    rotation matrix applied to the environment coefficients."""
+    rotation matrix applied to the environment coefficients.
 
-    def draw(self, uniforms: dict) -> None:
+    ``draw(..., uv_space=True)`` rasterizes in UV coordinates instead
+    (the prt_uv.vs:155-160 texture-space mode: triangles placed at their
+    UV positions, shading baked into the unwrap)."""
+
+    def draw(self, uniforms: dict, uv_space: bool = False) -> None:
         from .sh import sh_rotation_matrix
 
         model = np.asarray(uniforms["ModelMat"], np.float32)
-        tris = self._transform(self.attribs[0], self._mvp(uniforms))
+        if uv_space:
+            uv = self.attribs[1].reshape(-1, 3, 2)
+            pos = np.zeros((*uv.shape[:2], 4), np.float32)
+            pos[..., :2] = uv * 2.0 - 1.0
+            pos[..., 3] = 1.0
+            tris = jnp.asarray(pos)
+        else:
+            tris = self._transform(self.attribs[0], self._mvp(uniforms))
         uvs = self.attribs[1].reshape(-1, 3, 2)
         prt = self.attribs[2].reshape(-1, 3, 9)
         attrs = jnp.asarray(np.concatenate([uvs, prt], axis=-1))

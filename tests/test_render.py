@@ -120,3 +120,27 @@ def test_cameras_match_reference(ref):
     rpose.sanity_check()
     np.testing.assert_allclose(pose.get_model_view_mat(),
                                rpose.get_model_view_mat(), atol=1e-12)
+
+
+def test_prt_render_modes():
+    from monoport_tpu.render import PrtRender
+    r = PrtRender(width=32, height=32)
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    uvs = np.array([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]], np.float32)
+    prt = np.tile(np.array([[1.0] + [0.0] * 8], np.float32), (3, 1))
+    r.set_attrib(0, verts)
+    r.set_attrib(1, uvs)
+    r.set_attrib(2, prt)
+    r.set_texture("AlbedoMap", np.ones((8, 8, 3), np.float32))
+    sh = np.zeros((9, 3), np.float32)
+    sh[0] = 1.0
+    uniforms = {"ModelMat": np.eye(4), "PerspMat": np.eye(4),
+                "SHCoeffs": sh}
+    r.draw(uniforms)
+    img = r.get_color()
+    assert img[16, 16].max() > 0.5
+    r.draw(uniforms, uv_space=True)       # texture-space unwrap mode
+    img_uv = r.get_color()
+    # the UV triangle interior is lit, corners outside it are empty
+    assert img_uv[16, 16].max() > 0.5
+    assert img_uv[0, 0].max() == 0.0
