@@ -45,15 +45,22 @@ def batched_cumsum(x: jax.Array, row_len: int = 2048) -> jax.Array:
 def _searchsorted_right(cum: jax.Array, queries: jax.Array,
                         length: int) -> jax.Array:
     """First index i with cum[i] > q (cum nondecreasing), manual binary
-    search: log2(length) gather rounds, vectorized over queries."""
-    lo = jnp.zeros_like(queries)
-    hi = jnp.full_like(queries, length)
+    search: log2(length) gather rounds, vectorized over queries. Rounds
+    run in a device-side fori_loop — unrolling them bloats the program
+    enough to crash the TPU backend's register allocator on big graphs."""
     steps = max(1, (length - 1).bit_length())
-    for _ in range(steps):
+
+    def body(_, state):
+        lo, hi = state
         mid = (lo + hi) // 2
         go_right = cum[jnp.clip(mid, 0, length - 1)] <= queries
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(
+        0, steps, body,
+        (jnp.zeros_like(queries), jnp.full_like(queries, length)))
     return lo
 
 

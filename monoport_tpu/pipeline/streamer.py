@@ -23,11 +23,19 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def _center_square_resize(img: np.ndarray, size: int) -> np.ndarray:
+def _center_square_resize(img: np.ndarray, size: int,
+                          pad: bool = False) -> np.ndarray:
     h, w = img.shape[:2]
-    s = min(h, w)
-    y0, x0 = (h - s) // 2, (w - s) // 2
-    img = img[y0:y0 + s, x0:x0 + s]
+    if pad:  # letterbox to square instead of cropping (streamer pad=True)
+        s = max(h, w)
+        canvas = np.zeros((s, s, img.shape[2]), img.dtype)
+        y0, x0 = (s - h) // 2, (s - w) // 2
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        img = canvas
+    else:
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        img = img[y0:y0 + s, x0:x0 + s]
     if cv2 is not None:
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
     else:  # pragma: no cover
@@ -48,6 +56,7 @@ class CaptureStreamer:
         assert cv2 is not None, "cv2 required for camera capture"
         self.device = device
         self.size = size
+        self.pad = pad
 
     def __iter__(self) -> Iterator[np.ndarray]:
         cap = cv2.VideoCapture(self.device)
@@ -57,7 +66,7 @@ class CaptureStreamer:
                 if not ok:
                     return
                 yield _center_square_resize(
-                    _to_float_rgb(frame, bgr=True), self.size)
+                    _to_float_rgb(frame, bgr=True), self.size, self.pad)
         finally:
             cap.release()
 
