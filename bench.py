@@ -57,7 +57,8 @@ def build_frame():
         dilate=cfg.recon.dilate,
         balance_value=cfg.recon.balance_value)
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=6, compute_dtype=jnp.bfloat16)
+                         ray_taps=6, compute_dtype=jnp.bfloat16,
+                         use_pallas=True)
 
     from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
     from monoport_tpu.recon.ray_refine import ray_refine
@@ -68,10 +69,12 @@ def build_frame():
         image_g = engine._cast(image_g)
         image_c = engine._cast(image_c)
         feats_g = engine.netG.apply(params_g, image_g, method="filter")
+        feats_g = engine._feats_f32(feats_g)
+        head_g = engine._head_fn(engine.netG, params_g)
 
         def query_occ(pts):
             pred = engine.netG.apply(params_g, feats_g, pts, calib_t,
-                                     method="query")[0]
+                                     method="query", head_fn=head_g)[0]
             center = jnp.asarray([0.0, -0.1, 0.0])
             radii = jnp.asarray([0.35, 0.8, 0.25])
             d = jnp.linalg.norm((pts - center) / radii, axis=-1)
@@ -85,10 +88,12 @@ def build_frame():
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_c, feat_prior,
                                     method="filter")
+        feats_c = engine._feats_f32(feats_c)
+        head_c = engine._head_fn(engine.netC, params_c)
 
         def query_color(pts):
             return engine.netC.apply(params_c, feats_c, pts, calib_t,
-                                     method="query")[0]
+                                     method="query", head_fn=head_c)[0]
 
         tex_canvas = colorize(maps, query_color, engine.fine_res)
         render_tex, mask_tex = visualize(tex_canvas, engine.render_size)

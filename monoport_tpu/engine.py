@@ -57,6 +57,18 @@ class ReconEngine:
         self.pallas_interpret = pallas_interpret
         self._frame = jax.jit(self._frame_impl)
 
+    def _feats_f32(self, feats):
+        """bf16 backbone -> f32 feature maps before the point queries.
+
+        Two reasons: (a) the XLA TPU backend crashes its register
+        allocator on large-N bf16 gather+GEMM query programs (verified on
+        v5e: RET_CHECK in lsrav2/live_range_finder.cc); (b) bf16 lives in
+        the MLP via the Pallas kernel anyway, where the FLOPs are.
+        """
+        if self.compute_dtype == jnp.float32:
+            return feats
+        return [[f.astype(jnp.float32) for f in fs] for fs in feats]
+
     def _head_fn(self, net: MonoPortNet, params: Any):
         """Pallas fused-MLP head override (None -> flax head)."""
         if not self.use_pallas:
@@ -88,6 +100,7 @@ class ReconEngine:
         image_g = self._cast(image_g)
         image_c = self._cast(image_c)
         feats_g = self.netG.apply(params_g, image_g, method="filter")
+        feats_g = self._feats_f32(feats_g)
         head_g = self._head_fn(self.netG, params_g)
 
         def query_occ(pts):
@@ -117,6 +130,7 @@ class ReconEngine:
             feat_prior = feats_g[-1][-1]
             feats_c = self.netC.apply(params_c, image_c, feat_prior,
                                       method="filter")
+            feats_c = self._feats_f32(feats_c)
             head_c = self._head_fn(self.netC, params_c)
 
             def query_color(pts):
