@@ -135,13 +135,20 @@ def build_pipeline(args, cfg, state: FrameState):
     if netC is not None and params_c is None:
         params_c = _init_random_params(netC)
 
+    import jax.numpy as _jnp
+
     recon = HierarchicalRecon(
         resolutions=tuple(cfg.recon.resolutions),
         budgets=tuple(cfg.recon.budgets),
         boundary_tau=cfg.recon.boundary_tau,
         dilate=cfg.recon.dilate,
-        balance_value=cfg.recon.balance_value)
-    engine = ReconEngine(netG, netC, recon=recon)
+        balance_value=cfg.recon.balance_value,
+        select=cfg.recon.select)
+    engine = ReconEngine(
+        netG, netC, recon=recon, mode=cfg.recon.mode,
+        fine_res=cfg.recon.fine_res, ray_taps=cfg.recon.ray_taps,
+        compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
+        use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
     seg = Segmentation(variables=None)  # box-prior fallback (no ckpt)
     scene = MonoPortScene(size=(256, 256))
 

@@ -172,6 +172,12 @@ def get_cfg_defaults() -> CfgNode:
     c.recon.budgets = [0, 16384, 32768, 131072, 262144]  # 0 = dense level
     c.recon.boundary_tau = 0.20
     c.recon.dilate = 1
+    c.recon.select = "first"           # or "uncertain" (Seg3dTopk-style)
+    # mode 'dense' = exact full-resolution volume; 'ray' = coarse volume +
+    # per-ray refinement (the real-time path; see recon/ray_refine.py)
+    c.recon.mode = "dense"
+    c.recon.fine_res = 257
+    c.recon.ray_taps = 6
     # TPU execution
     c.tpu = CN()
     c.tpu.compute_dtype = "bfloat16"
