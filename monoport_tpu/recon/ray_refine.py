@@ -45,9 +45,12 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
     scale = (rf - 1) / (rc - 1)
 
     coarse = depth_peel(vol_coarse, direction, balance_value)
-    # upsample 2D maps to the fine ray grid ([a=x, b=y] indexing)
+    # upsample 2D maps to the fine ray grid ([a=x, b=y] indexing); the
+    # coarse depth can be NaN at degenerate iso-crossings (reference
+    # parity quirk, RTL/recon.py:77) — keep it out of tap placement
+    coarse_depth = jnp.nan_to_num(coarse.depth, nan=0.0)
     depth_f = interpolate_2d(
-        coarse.depth[None, ..., None] * scale, (rf, rf), "bilinear")[0, ..., 0]
+        coarse_depth[None, ..., None] * scale, (rf, rf), "bilinear")[0, ..., 0]
     valid_f = interpolate_2d(
         coarse.valid[None, ..., None].astype(jnp.float32), (rf, rf),
         "bilinear")[0, ..., 0] > 0.0
