@@ -158,3 +158,35 @@ def test_hierarchy_uncertain_selection():
     occ_d = dense_eval(sphere_query, 33, chunk=8192)
     np.testing.assert_array_equal(np.asarray(occ_u) > 0.5,
                                   np.asarray(occ_d) > 0.5)
+
+
+def test_ray_refine_scale4_quality():
+    """Production config analog (coarse->fine scale 4, e.g. 65->257):
+    wide-window taps still land within the reference's own 2-voxel
+    bracketing error."""
+    from monoport_tpu.recon.ray_refine import ray_refine
+
+    recon_c = HierarchicalRecon(resolutions=(9, 17, 33),
+                                budgets=(0, 4096, 16384))
+    vol_c = recon_c(sphere_query)
+    maps_fast = ray_refine(sphere_query, vol_c, 129, taps=6)
+
+    vol_f = dense_eval(sphere_query, 129, chunk=65536)
+    maps_ref = depth_peel(jnp.asarray(vol_f), "front")
+
+    import scipy.ndimage as ndi
+    vf = np.asarray(maps_ref.valid)
+    vg = np.asarray(maps_fast.valid)
+    interior = ndi.binary_erosion(vf, iterations=5) & vf & vg
+    assert interior.sum() > 500
+    d_err = np.abs(np.asarray(maps_ref.depth) - np.asarray(maps_fast.depth))
+    # depth agrees within ~2 fine voxels (the reference's own v2 bracket
+    # distance) over the interior
+    assert np.median(d_err[interior]) < 1.0
+    assert np.percentile(d_err[interior], 95) < 2.5
+
+    n_ref = np.asarray(maps_ref.normal)
+    n_fast = np.asarray(maps_fast.normal)
+    ok = interior & np.isfinite(n_ref).all(-1) & np.isfinite(n_fast).all(-1)
+    cos = np.sum(n_ref[ok] * n_fast[ok], axis=-1)
+    assert np.median(cos) > 0.95, np.median(cos)
