@@ -50,9 +50,13 @@ def build_frame():
     params_c = netC.init(key, image, points, calib,
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
 
+    # Operating point from the measured sweep (DESIGN.md): dense volume
+    # only to 65^3 (volume ops are latency-bound on TPU), per-ray fine
+    # refinement at 257^2 rays x 6 taps (validated: median depth error
+    # < 1 fine voxel vs the exact fine-volume peel).
     recon = HierarchicalRecon(
-        resolutions=(17, 33, 65, 129),
-        budgets=(0, 8192, 32768, 131072),
+        resolutions=(17, 33, 65),
+        budgets=(0, 4096, 16384),
         boundary_tau=cfg.recon.boundary_tau,
         dilate=cfg.recon.dilate,
         balance_value=cfg.recon.balance_value)

@@ -74,6 +74,12 @@ def parse_args(argv=None):
     args = parser.parse_args(argv)
 
     cfg = get_cfg_defaults()
+    # RTL demo profile: the measured real-time operating point (DESIGN.md)
+    # — coarse 65^3 volume + 257-equivalent per-ray refinement; explicit
+    # user overrides (config file / CLI) still win below.
+    cfg.recon.mode = "ray"
+    cfg.recon.resolutions = [17, 33, 65]
+    cfg.recon.budgets = [0, 4096, 16384]
     if args.config_file:
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(opts)

@@ -32,6 +32,7 @@ def test_rtl_main_headless(frames_dir):
         "--image_folder", frames_dir, "--max_frames", "2", "--",
         "recon.resolutions", "[9,17,33]",
         "recon.budgets", "[0,2048,8192]",
+        "recon.fine_res", "65", "recon.ray_taps", "4",
         "netG.backbone.num_stack", "1",
         "netG.backbone.num_hourglass", "1",
         "netG.backbone.hourglass_dim", "32",
