@@ -124,8 +124,21 @@ class Trainer:
             self.epoch = int(ckpt["epoch"])
             self.iteration = int(ckpt["iteration"])
 
+    # -- evaluation (cfg.freq_eval hook; metrics in training/metrics.py) ----
+    def evaluate(self, eval_batch: dict) -> dict:
+        from .metrics import evaluate_occupancy
+
+        metrics = evaluate_occupancy(
+            self.net, {"params": self.state.params}, eval_batch)
+        self.logger.info("eval iter %d: %s", self.iteration, metrics)
+        if self.tb_writer is not None:
+            for k, v in metrics.items():
+                self.tb_writer.add_scalar(f"eval/{k}", v, self.iteration)
+        return metrics
+
     # -- loop ---------------------------------------------------------------
-    def train_epoch(self, batches: Iterable[dict], epoch: int) -> float:
+    def train_epoch(self, batches: Iterable[dict], epoch: int,
+                    eval_batch: Optional[dict] = None) -> float:
         losses = []
         for batch in batches:
             if self.state is None:
@@ -143,5 +156,8 @@ class Trainer:
             if self.iteration % self.cfg.freq_save == 0:
                 self.update_ckpt(f"ckpt_{self.iteration}", epoch,
                                  self.iteration)
+            if (eval_batch is not None
+                    and self.iteration % self.cfg.freq_eval == 0):
+                self.evaluate(eval_batch)
         self.epoch = epoch
         return float(np.mean(losses)) if losses else float("nan")

@@ -122,3 +122,38 @@ def test_config_merge_and_freeze(tmp_path):
     cfg.freeze()
     with pytest.raises(AttributeError):
         cfg.learning_rate = 0.2
+
+
+def test_metrics():
+    from monoport_tpu.training.metrics import (chamfer_distance,
+                                               occupancy_accuracy,
+                                               occupancy_iou)
+    pred = jnp.asarray([0.9, 0.1, 0.8, 0.2])
+    target = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    assert abs(float(occupancy_iou(pred, target)) - 1 / 3) < 1e-6
+    assert float(occupancy_accuracy(pred, target)) == 0.5
+    a = np.zeros((10, 3), np.float32)
+    b = np.ones((10, 3), np.float32)
+    assert abs(chamfer_distance(a, b) - 2 * np.sqrt(3)) < 1e-5
+    assert chamfer_distance(a, a) == 0.0
+
+
+def test_trainer_eval_hook(tmp_path):
+    from monoport_tpu.training import Trainer
+
+    cfg = get_cfg_defaults()
+    cfg.checkpoints_path = str(tmp_path / "c")
+    cfg.results_path = str(tmp_path / "r")
+    cfg.optim = "adam"
+    cfg.freq_plot = 100
+    cfg.freq_save = 100000
+    cfg.freq_eval = 2
+    net = _tiny_netG()
+    ds = SyntheticBlobDataset(size=64, num_sample_geo=128, length=4)
+    batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(2)))
+    tr = Trainer(net, cfg, use_mesh=False)
+    tr.init_state(batch)
+    tr.train_epoch([batch, batch], epoch=0, eval_batch=batch)
+    metrics = tr.evaluate(batch)
+    assert set(metrics) == {"iou", "accuracy", "mse"}
+    assert 0.0 <= metrics["accuracy"] <= 1.0
