@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""End-to-end learned-reconstruction demo on synthetic data.
+
+Trains a small netG on procedural blob scenes (exact occupancy labels),
+then reconstructs a held-out scene with the full engine and writes:
+  out/recon_norm.png   — normal-shaded free-viewpoint render
+  out/mesh.obj         — marching-tetrahedra mesh
+  out/metrics.json     — occupancy IOU vs ground truth
+
+This is the "does the whole system actually reconstruct" proof that needs
+no external checkpoints.
+
+Usage: python scripts/demo_synthetic.py [--steps 300] [--out out/]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--out", default="out")
+    parser.add_argument("--size", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from monoport_tpu.config import CN
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.models.heads import HEADS
+    from monoport_tpu.models.heads.surface_classifier import SurfaceClassifier
+    from monoport_tpu.parallel.train_step import (create_train_state,
+                                                  make_optimizer,
+                                                  make_train_step)
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+    from monoport_tpu.recon.marching import extract_mesh
+    from monoport_tpu.training.datasets import SyntheticBlobDataset
+    from monoport_tpu.training.metrics import occupancy_iou
+    from monoport_tpu.utils import save_obj_mesh
+
+    HEADS.setdefault("demo_head", lambda o=None, name=None: SurfaceClassifier(
+        filter_channels=(129, 256, 128, 1), num_views=1, no_residual=False,
+        last_op=jax.nn.sigmoid, name=name))
+    opt = CN()
+    opt.projection = "orthogonal"
+    opt.backbone = CN({"IMF": "PIFuHGFilters", "num_stack": 2,
+                       "num_hourglass": 2, "hourglass_dim": 128,
+                       "norm": "group", "hg_down": "ave_pool"})
+    opt.normalizer = CN({"IMF": "PIFuNomalizer"})
+    opt.head = CN({"IMF": "demo_head"})
+    opt.loss = CN({"IMF": "MSE"})
+    net = MonoPortNet(opt)
+
+    ds = SyntheticBlobDataset(size=args.size, num_sample_geo=1024,
+                              length=32, seed=args.seed)
+    batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(4)))
+    tx = make_optimizer("adam", 2e-3)
+    state = create_train_state(net, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(net)
+
+    rng = np.random.RandomState(args.seed)
+    for i in range(args.steps):
+        idx = rng.randint(0, len(ds) - 1, 4)  # hold out the last scene
+        batch = jax.tree.map(jnp.asarray, ds.as_train_batch(idx))
+        state, loss = step(state, batch)
+        if (i + 1) % 50 == 0:
+            print(f"step {i + 1}: loss {float(loss):.4f}", flush=True)
+
+    # --- reconstruct the held-out scene ---
+    test_idx = len(ds) - 1
+    item = ds[test_idx]
+    image = jnp.asarray(item["image"][None])
+    calib = jnp.asarray(item["calib"][None])
+    variables = {"params": state.params}
+
+    recon = HierarchicalRecon(resolutions=(17, 33, 65),
+                              budgets=(0, 8192, 32768))
+    engine = ReconEngine(net, None, recon=recon, render_size=256)
+    out = engine.frame(variables, image, calib=calib)
+
+    os.makedirs(args.out, exist_ok=True)
+    from PIL import Image
+    img = np.asarray(out["render_norm"])
+    img = np.nan_to_num(img, nan=1.0)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+        os.path.join(args.out, "recon_norm.png"))
+
+    verts, faces = extract_mesh(out["sdf"], max_cells=32768)
+    save_obj_mesh(os.path.join(args.out, "mesh.obj"), verts, faces)
+
+    # ground-truth occupancy on the same grid
+    from monoport_tpu.recon.dense import grid_points
+    rng_gt = np.random.RandomState(ds.seed + test_idx)
+    centers, radii = ds._blobs(rng_gt)
+    pts = np.asarray(grid_points(65))
+    gt = ds.occupancy(pts, centers, radii).reshape(65, 65, 65)
+    iou = float(occupancy_iou(out["sdf"], jnp.asarray(gt)))
+    metrics = {"iou": iou, "verts": int(len(verts)),
+               "faces": int(len(faces))}
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    print("metrics:", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
