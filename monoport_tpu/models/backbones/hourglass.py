@@ -191,3 +191,20 @@ def PIFuHGFilters(opt=None, name=None) -> HGFilter:
         hg_down=opt.get("hg_down", "ave_pool"),
         name=name,
     )
+
+
+if __name__ == "__main__":
+    # smoke benchmark (reference HGFilters.py:219-235: 27.42 fps on 2080Ti)
+    import numpy as np
+    import jax
+    from ...utils.profiling import device_time  # noqa: F401 (run as module)
+
+    model = PIFuHGFilters()
+    x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    for stage, outs in enumerate(out):
+        for lvl, o in enumerate(outs):
+            print(f"stage: {stage}, lvl: {lvl}", o.shape)
+    dt = device_time(lambda im: model.apply(variables, im)[-1][0], x)
+    print(f"{1 / dt:.2f} fps")

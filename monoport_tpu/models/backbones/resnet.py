@@ -88,3 +88,16 @@ def PIFuResBlkFilters(opt=None, name=None) -> ResnetFilter:
     opt = opt or {}
     return ResnetFilter(use_tanh=opt.get("use_tanh", False),
                         norm=opt.get("norm", "group"), name=name)
+
+
+if __name__ == "__main__":
+    # smoke benchmark (reference ResBlkFilters.py:150-165: 39.68 fps)
+    import jax
+    from ...utils.profiling import device_time
+
+    model = PIFuResBlkFilters()
+    x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    print(model.apply(variables, x)[0][0].shape)
+    dt = device_time(lambda im: model.apply(variables, im)[0][0], x)
+    print(f"{1 / dt:.2f} fps")

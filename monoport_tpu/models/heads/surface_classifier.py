@@ -67,3 +67,26 @@ def PIFuNetCMLP(opt=None, name=None) -> SurfaceClassifier:
     return SurfaceClassifier(
         filter_channels=(513, 1024, 512, 256, 128, 3),
         num_views=1, no_residual=False, last_op=jnp.tanh, name=name)
+
+
+if __name__ == "__main__":
+    # smoke benchmark (reference SurfaceClassifier.py:90-116:
+    # netG 38.13 fps / netC 23.71 fps at 50000 points on 2080Ti)
+    import jax
+    from ...utils.profiling import device_time
+
+    from ...ops.pallas.fused_mlp import PallasSurfaceMLP
+    from . import HEAD_SPECS
+
+    for name in ("PIFuNetGMLP", "PIFuNetCMLP"):
+        chans, last_op = HEAD_SPECS[name]
+        model = {"PIFuNetGMLP": PIFuNetGMLP, "PIFuNetCMLP": PIFuNetCMLP}[name]()
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 50000, chans[0]))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        print(model.apply(variables, x).shape)
+        dt = device_time(lambda v: model.apply(variables, v), x)
+        kernel = PallasSurfaceMLP(variables["params"], chans, last_op)
+        dtp = device_time(kernel._call, x)
+        print(f"{name}: xla {1 / dt:.2f} fps ({50000 / dt / 1e6:.1f} M "
+              f"pts/s) | pallas {1 / dtp:.2f} fps "
+              f"({50000 / dtp / 1e6:.1f} M pts/s)")

@@ -92,3 +92,34 @@ def make_train_step(net, mesh=None) -> Callable:
     # prefix-pytree shardings: replicated state, sharded batch dict
     return jax.jit(step_fn, in_shardings=(rep, bs),
                    out_shardings=(rep, rep), donate_argnums=0)
+
+
+def make_scan_train_step(net, mesh=None) -> Callable:
+    """Multi-step training in ONE dispatch: batches are stacked with a
+    leading step axis and consumed by lax.scan on device.
+
+    Exists because per-step host dispatch is expensive on remote/tunneled
+    accelerators (measured ~0.3s/step overhead on this stack vs ~10ms of
+    compute); 50-step scans amortize it away. Same arithmetic as
+    make_train_step.
+    """
+
+    def loss_fn(params, batch):
+        _, loss = net.apply({"params": params}, batch["images"],
+                            batch["points"], batch["calibs"],
+                            labels=batch["labels"], train=True)
+        return loss
+
+    def scan_fn(state: TrainState, stacked_batches) -> tuple:
+        def body(state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            return state.apply_gradients(grads), loss
+
+        return jax.lax.scan(body, state, stacked_batches)
+
+    if mesh is None:
+        return jax.jit(scan_fn, donate_argnums=0)
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+    return jax.jit(scan_fn, in_shardings=(rep, bs),
+                   out_shardings=(rep, rep), donate_argnums=0)

@@ -41,7 +41,7 @@ def main(argv=None):
     from monoport_tpu.models.heads.surface_classifier import SurfaceClassifier
     from monoport_tpu.parallel.train_step import (create_train_state,
                                                   make_optimizer,
-                                                  make_train_step)
+                                                  make_scan_train_step)
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
     from monoport_tpu.recon.marching import extract_mesh
     from monoport_tpu.training.datasets import SyntheticBlobDataset
@@ -66,15 +66,23 @@ def main(argv=None):
     batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(4)))
     tx = make_optimizer("adam", 2e-3)
     state = create_train_state(net, jax.random.PRNGKey(0), batch, tx)
-    step = make_train_step(net)
+    # scan 50 steps per dispatch (host dispatch is the bottleneck on
+    # tunneled accelerators; see make_scan_train_step)
+    chunk = 50
+    step = make_scan_train_step(net)
 
     rng = np.random.RandomState(args.seed)
-    for i in range(args.steps):
-        idx = rng.randint(0, len(ds) - 1, 4)  # hold out the last scene
-        batch = jax.tree.map(jnp.asarray, ds.as_train_batch(idx))
-        state, loss = step(state, batch)
-        if (i + 1) % 50 == 0:
-            print(f"step {i + 1}: loss {float(loss):.4f}", flush=True)
+    done = 0
+    while done < args.steps:
+        batches = []
+        for _ in range(min(chunk, args.steps - done)):
+            idx = rng.randint(0, len(ds) - 1, 4)  # hold out the last scene
+            batches.append(ds.as_train_batch(idx))
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        state, losses = step(state, stacked)
+        done += len(batches)
+        print(f"step {done}: loss {float(losses[-1]):.4f}", flush=True)
 
     # --- reconstruct the held-out scene ---
     test_idx = len(ds) - 1
