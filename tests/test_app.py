@@ -78,3 +78,13 @@ def test_train_cli_synthetic(tmp_path):
                  "netG.backbone.hourglass_dim", "32"])
     import numpy as np
     assert np.isfinite(loss)
+
+
+def test_config_profiles_load():
+    from monoport_tpu.apps.rtl_main import parse_args
+    for profile in ("configs/rtl.yaml", "configs/quality.yaml"):
+        args, cfg = parse_args(["-cfg", profile, "--camera"])
+        assert cfg.recon.mode in ("ray", "dense")
+    args, cfg = parse_args(["-cfg", "configs/quality.yaml", "--camera"])
+    assert cfg.recon.mode == "dense"
+    assert cfg.recon.resolutions[-1] == 257

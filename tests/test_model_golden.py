@@ -215,3 +215,26 @@ def test_load_legacy_pifu_file_roundtrip(ref, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got[-1][0]).transpose(0, 3, 1, 2), want,
         atol=2e-4, rtol=1e-3)
+
+
+def test_multiview_head_pooling(ref):
+    """num_views>1 mean-pool hook (SurfaceClassifier.py:60-66 parity)."""
+    from monoport.lib.modeling.heads.SurfaceClassifier import (
+        SurfaceClassifier as TorchSC)
+    from monoport_tpu.models.heads.surface_classifier import (
+        SurfaceClassifier as JaxSC)
+
+    tnet = TorchSC([33, 16, 8, 1], num_views=2, no_residual=False,
+                   last_op=torch.nn.Sigmoid())
+    tnet.eval()
+    x = RNG.randn(4, 33, 50).astype(np.float32)  # 2 groups x 2 views
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    params = convert_head_state(tnet.state_dict())
+    jnet = JaxSC(filter_channels=(33, 16, 8, 1), num_views=2,
+                 no_residual=False, last_op=jax.nn.sigmoid)
+    got = jnet.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               atol=1e-5, rtol=1e-4)
