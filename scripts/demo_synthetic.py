@@ -62,7 +62,7 @@ def main(argv=None):
     net = MonoPortNet(opt)
 
     ds = SyntheticBlobDataset(size=args.size, num_sample_geo=1024,
-                              length=32, seed=args.seed)
+                              length=256, seed=args.seed)
     batch = jax.tree.map(jnp.asarray, ds.as_train_batch(range(4)))
     tx = make_optimizer("adam", 2e-3)
     state = create_train_state(net, jax.random.PRNGKey(0), batch, tx)
@@ -84,17 +84,26 @@ def main(argv=None):
         done += len(batches)
         print(f"step {done}: loss {float(losses[-1]):.4f}", flush=True)
 
-    # --- reconstruct the held-out scene ---
-    test_idx = len(ds) - 1
-    item = ds[test_idx]
-    image = jnp.asarray(item["image"][None])
-    calib = jnp.asarray(item["calib"][None])
-    variables = {"params": state.params}
+    def recon_iou(test_idx, engine, variables):
+        item = ds[test_idx]
+        image = jnp.asarray(item["image"][None])
+        calib = jnp.asarray(item["calib"][None])
+        out = engine.frame(variables, image, calib=calib)
+        from monoport_tpu.recon.dense import grid_points
+        rng_gt = np.random.RandomState(ds.seed + test_idx)
+        centers, radii = ds._blobs(rng_gt)
+        pts = np.asarray(grid_points(65))
+        gt = ds.occupancy(pts, centers, radii).reshape(65, 65, 65)
+        return out, float(occupancy_iou(out["sdf"], jnp.asarray(gt)))
 
+    # --- reconstruct a train scene (fit) and the held-out scene ---
+    variables = {"params": state.params}
     recon = HierarchicalRecon(resolutions=(17, 33, 65),
                               budgets=(0, 8192, 32768))
     engine = ReconEngine(net, None, recon=recon, render_size=256)
-    out = engine.frame(variables, image, calib=calib)
+
+    _, train_iou = recon_iou(0, engine, variables)
+    out, iou = recon_iou(len(ds) - 1, engine, variables)
 
     os.makedirs(args.out, exist_ok=True)
     from PIL import Image
@@ -106,15 +115,8 @@ def main(argv=None):
     verts, faces = extract_mesh(out["sdf"], max_cells=32768)
     save_obj_mesh(os.path.join(args.out, "mesh.obj"), verts, faces)
 
-    # ground-truth occupancy on the same grid
-    from monoport_tpu.recon.dense import grid_points
-    rng_gt = np.random.RandomState(ds.seed + test_idx)
-    centers, radii = ds._blobs(rng_gt)
-    pts = np.asarray(grid_points(65))
-    gt = ds.occupancy(pts, centers, radii).reshape(65, 65, 65)
-    iou = float(occupancy_iou(out["sdf"], jnp.asarray(gt)))
-    metrics = {"iou": iou, "verts": int(len(verts)),
-               "faces": int(len(faces))}
+    metrics = {"iou": iou, "train_iou": train_iou,
+               "verts": int(len(verts)), "faces": int(len(faces))}
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f)
     print("metrics:", metrics)
