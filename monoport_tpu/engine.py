@@ -164,7 +164,12 @@ class ReconEngine:
         images_g = images_g[:, None]                  # [B, 1, H, W, 3]
         images_c = None if images_c is None else images_c[:, None]
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
-        fn = jax.vmap(self._frame_impl,
-                      in_axes=(None, None, 0,
-                               None if images_c is None else 0, 0))
-        return jax.jit(fn)(params_g, params_c, images_g, images_c, calibs)
+        key = images_c is None
+        if not hasattr(self, "_frames_jit"):
+            self._frames_jit = {}
+        if key not in self._frames_jit:  # cache per image_c presence
+            fn = jax.vmap(self._frame_impl,
+                          in_axes=(None, None, 0, None if key else 0, 0))
+            self._frames_jit[key] = jax.jit(fn)
+        return self._frames_jit[key](params_g, params_c, images_g,
+                                     images_c, calibs)
