@@ -153,6 +153,7 @@ def build_pipeline(args, cfg, state: FrameState):
     engine = ReconEngine(
         netG, netC, recon=recon, mode=cfg.recon.mode,
         fine_res=cfg.recon.fine_res, ray_taps=cfg.recon.ray_taps,
+        ray_window=cfg.recon.ray_window or None,
         compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
         use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
     seg = Segmentation(variables=None)  # box-prior fallback (no ckpt)

@@ -178,6 +178,7 @@ def get_cfg_defaults() -> CfgNode:
     c.recon.mode = "dense"
     c.recon.fine_res = 257
     c.recon.ray_taps = 6
+    c.recon.ray_window = 0            # 0 = full frame; e.g. 192 = bbox window
     # TPU execution
     c.tpu = CN()
     c.tpu.compute_dtype = "bfloat16"

@@ -37,6 +37,7 @@ class ReconEngine:
                  render_size: int = 256, direction: str = "front",
                  compute_dtype=jnp.float32, mode: str = "dense",
                  fine_res: int = 257, ray_taps: int = 6,
+                 ray_window: int | None = None,
                  use_pallas: bool = False, pallas_interpret: bool = False):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
@@ -53,6 +54,7 @@ class ReconEngine:
         self.mode = mode
         self.fine_res = fine_res
         self.ray_taps = ray_taps
+        self.ray_window = ray_window
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self._frame = jax.jit(self._frame_impl)
@@ -116,7 +118,8 @@ class ReconEngine:
                               balance_value=self.recon.balance_value,
                               b_min=self.recon.b_min,
                               b_max=self.recon.b_max,
-                              direction=self.direction)
+                              direction=self.direction,
+                              window=self.ray_window)
         else:
             resolution = self.recon.resolutions[-1]
             maps = depth_peel(vol, self.direction,

@@ -190,3 +190,25 @@ def test_ray_refine_scale4_quality():
     ok = interior & np.isfinite(n_ref).all(-1) & np.isfinite(n_fast).all(-1)
     cos = np.sum(n_ref[ok] * n_fast[ok], axis=-1)
     assert np.median(cos) > 0.95, np.median(cos)
+
+
+def test_ray_refine_window_matches_full():
+    """Windowed fine pass equals the full pass inside the window when the
+    subject fits."""
+    from monoport_tpu.recon.ray_refine import ray_refine
+
+    recon_c = HierarchicalRecon(resolutions=(9, 17, 33),
+                                budgets=(0, 4096, 16384))
+    vol_c = recon_c(sphere_query)
+    full = ray_refine(sphere_query, vol_c, 65, taps=6)
+    win = ray_refine(sphere_query, vol_c, 65, taps=6, window=56)
+
+    vf = np.asarray(full.valid)
+    # everything valid must be inside the window for this scene
+    d_full = np.asarray(full.depth)
+    d_win = np.asarray(win.depth)
+    np.testing.assert_allclose(d_win[vf], d_full[vf], atol=1e-4)
+    n_full = np.asarray(full.normal)
+    n_win = np.asarray(win.normal)
+    ok = vf & np.isfinite(n_full).all(-1)
+    np.testing.assert_allclose(n_win[ok], n_full[ok], atol=1e-4)
