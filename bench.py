@@ -60,9 +60,11 @@ def build_frame():
         boundary_tau=cfg.recon.boundary_tau,
         dilate=cfg.recon.dilate,
         balance_value=cfg.recon.balance_value)
+    # fine rays restricted to a 192^2 bbox window (75% of the frame —
+    # matches the reference's own detection-region prior, RTL/main.py:290)
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=6, compute_dtype=jnp.bfloat16,
-                         use_pallas=True)
+                         ray_taps=6, ray_window=192,
+                         compute_dtype=jnp.bfloat16, use_pallas=True)
 
     from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
     from monoport_tpu.recon.ray_refine import ray_refine
@@ -87,7 +89,7 @@ def build_frame():
 
         vol = engine.recon(query_occ)
         maps = ray_refine(query_occ, vol, engine.fine_res,
-                          taps=engine.ray_taps)
+                          taps=engine.ray_taps, window=engine.ray_window)
         render_norm, mask = visualize(shade_normal(maps), engine.render_size)
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_c, feat_prior,

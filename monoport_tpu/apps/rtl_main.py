@@ -80,6 +80,7 @@ def parse_args(argv=None):
     cfg.recon.mode = "ray"
     cfg.recon.resolutions = [17, 33, 65]
     cfg.recon.budgets = [0, 4096, 16384]
+    cfg.recon.ray_window = 192
     if args.config_file:
         cfg.merge_from_file(args.config_file)
     cfg.merge_from_list(opts)
