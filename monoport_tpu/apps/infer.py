@@ -16,16 +16,14 @@ import sys
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from ..config import get_cfg_defaults
-from ..models import MonoPortNet
 from ..pipeline.segmentation import Segmentation
 from ..recon.dense import dense_eval
 from ..recon.hierarchy import HierarchicalRecon
 from ..recon.marching import extract_mesh
-from ..utils import compute_normal, save_obj_mesh, save_obj_mesh_with_color
+from ..utils import save_obj_mesh, save_obj_mesh_with_color
 
 
 def parse_args(argv=None):

@@ -15,8 +15,6 @@ Numerical-parity notes (these silently break pretrained weights if wrong):
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -195,9 +193,8 @@ def PIFuHGFilters(opt=None, name=None) -> HGFilter:
 
 if __name__ == "__main__":
     # smoke benchmark (reference HGFilters.py:219-235: 27.42 fps on 2080Ti)
-    import numpy as np
     import jax
-    from ...utils.profiling import device_time  # noqa: F401 (run as module)
+    from ...utils.profiling import device_time
 
     model = PIFuHGFilters()
     x = jnp.zeros((1, 512, 512, 3), jnp.float32)

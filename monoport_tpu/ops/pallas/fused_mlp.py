@@ -23,9 +23,7 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
-
-import numpy as np
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.projection import orthogonal
-
 
 class SurfaceMaps(NamedTuple):
     depth: jax.Array    # [R, R] float voxel-space depth along the ray axis

@@ -24,7 +24,7 @@ Seg3dTopk variant, which fits XLA better than true subdivision.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .utils import AugConfig, load_image, projection
+from .utils import load_image, projection
 
 
 def load_calib_dynamic(calib_path: str) -> np.ndarray:

@@ -16,7 +16,7 @@ monoport_tpu.convert.
 from __future__ import annotations
 
 import os
-from typing import Any, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
