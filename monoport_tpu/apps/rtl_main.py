@@ -268,6 +268,7 @@ _HOTKEYS = {"q": ("desktop_mode", "SEGM"), "w": ("desktop_mode", "NORM"),
             "z": ("view_mode", "FRONT"), "x": ("view_mode", "BACK"),
             "c": ("view_mode", "LEFT"), "v": ("view_mode", "RIGHT"),
             "b": ("view_mode", "AUTO"), "n": ("view_mode", "LOAD")}
+# hotkey 'g' (shift_floor) is handled in _desktop_window via the scene
 
 
 def main_loop(args, cfg, state: FrameState):

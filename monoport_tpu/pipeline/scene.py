@@ -99,6 +99,17 @@ class MonoPortScene:
             [0.0, 0.0, 0.0, 1.0]], np.float32)
         self.step = 0
 
+    def shift_floor(self):
+        """Cycle the floor look (hotkey 'g'; RTL/scene.py:117-121 —
+        the reference reloads a random prop, here the procedural texture
+        is re-colored)."""
+        import numpy as _np
+        rng = _np.random.RandomState(self.step)
+        c0 = rng.uniform(0.2, 0.6, 3)
+        c1 = rng.uniform(0.5, 0.9, 3)
+        self.texture_image = checkerboard_texture(c0=tuple(c0), c1=tuple(c1))
+        self.renderer.set_texture("TargetTexture", self.texture_image)
+
     def update_camera(self, load: bool = False):
         """Auto-orbit (yaw 20, pitch += 3/frame) or WebXR extrinsic
         (RTL/scene.py:122-145)."""
