@@ -111,7 +111,7 @@ def build_frame():
 
 def main():
     frame_impl, params_g, params_c, image, calib = build_frame()
-    iters = 20
+    iters = 30
 
     @jax.jit
     def bench_loop(params_g, params_c, img):
