@@ -185,22 +185,37 @@ def build_pipeline(args, cfg, state: FrameState):
                 "calib": calib, "extrinsic": np.array(extrinsic),
                 "intrinsic": np.array(intrinsic)}
 
+    import jax as _jax
+
+    @_jax.jit
+    def _pack_display(out):
+        """One uint8 device buffer for the per-frame host fetch: the
+        tunnel RTT (~110ms) dominates per-array transfers, so the
+        composite stage fetches exactly once."""
+        norm = jnp.nan_to_num(out["render_norm"], nan=1.0)
+        tex = jnp.nan_to_num(out.get("render_tex", out["render_norm"]),
+                             nan=1.0)
+        mask = out["mask"].astype(jnp.float32)
+        stack = jnp.concatenate([norm, tex, mask], axis=-1)  # [S, S, 7]
+        return jnp.clip(stack * 255.0, 0, 255).astype(jnp.uint8)
+
     def stage_device(d):
         """The fused on-device frame program (stages 7-15)."""
         out = engine.frame(params_g, d["input_netG"], params_c,
                            d["input_netC"], d["calib"])
+        d["display_packed"] = _pack_display(out)
         d.update(out)
         return d
 
     def stage_composite(d):
         """Composite over the rendered floor background + JPEG encode
         (RTL/main.py:535-557)."""
-        render_key = ("render_tex" if state.server_mode == "TEXTURE"
-                      and "render_tex" in d else "render_norm")
-        # degenerate iso-crossings yield NaN normals (same as the
-        # reference's v2==v1 divide, RTL/recon.py:77); sanitize for display
-        fg = np.nan_to_num(np.asarray(d[render_key]), nan=1.0)
-        mask = np.asarray(d["mask"]).astype(np.float32)
+        packed = np.asarray(d["display_packed"]).astype(np.float32) / 255.0
+        norm_img, tex_img = packed[..., 0:3], packed[..., 3:6]
+        mask = packed[..., 6:7]
+        d["render_norm_host"] = norm_img
+        d["render_tex_host"] = tex_img
+        fg = (tex_img if state.server_mode == "TEXTURE" else norm_img)
         background = scene.render(d["extrinsic"], d["intrinsic"])
         frame = mask * fg + (1.0 - mask) * background
         d["window_server"] = np.clip(frame, 0, 1)
@@ -294,8 +309,13 @@ def _desktop_window(d, state: FrameState):  # pragma: no cover - UI path
         seg_img = (segm[..., :3] * segm[..., 3:4]) * 0.5 + 0.5
         window = np.hstack([input_img, seg_img])
     else:
-        fg = np.asarray(d.get("render_tex", d["render_norm"]))
-        norm = np.asarray(d["render_norm"])
+        fg = d.get("render_tex_host")
+        if fg is None:
+            fg = np.nan_to_num(np.asarray(
+                d.get("render_tex", d["render_norm"])), nan=1.0)
+        norm = d.get("render_norm_host")
+        if norm is None:
+            norm = np.nan_to_num(np.asarray(d["render_norm"]), nan=1.0)
         if state.desktop_mode == "TEXTURE_NORM":
             window = np.vstack([fg, norm])
         else:
