@@ -57,6 +57,20 @@ def build_dataset(args, cfg):
     return PPLStaticDataset(cfg.dataset, cfg.dataset.root_render)
 
 
+def build_loader(args, cfg):
+    """Multiprocess loader for the file-backed datasets (cfg.num_threads
+    mirrors the reference's worker count, common/config.py:20)."""
+    from ..training.datasets import DataLoader
+
+    if args.dataset == "synthetic":
+        return None  # in-memory; make_batches is enough
+    factory = PPLDynamicDataset if args.dataset == "ppl_dynamic" \
+        else PPLStaticDataset
+    return DataLoader(factory, (cfg.dataset, cfg.dataset.root_render),
+                      batch_size=cfg.batch_size,
+                      num_workers=cfg.num_threads)
+
+
 def to_train_batch(batch: dict) -> dict:
     labels = batch["labels_geo"]
     if labels.ndim == 2:
@@ -72,11 +86,13 @@ def main(argv=None):
     trainer = Trainer(net, cfg)
     epochs = args.epochs or cfg.num_epoch
 
+    loader = build_loader(args, cfg)
     last = float("nan")
     for epoch in range(trainer.epoch, epochs):
+        source = (loader.epoch(epoch) if loader is not None
+                  else make_batches(dataset, cfg.batch_size, seed=epoch))
         batches = (jax.tree.map(np.asarray, to_train_batch(b))
-                   for b in make_batches(dataset, cfg.batch_size,
-                                         seed=epoch))
+                   for b in source)
         last = trainer.train_epoch(batches, epoch)
         trainer.logger.info("epoch %d done, mean loss %.5f", epoch, last)
         trainer.update_ckpt(f"epoch_{epoch}", epoch, trainer.iteration)

@@ -9,12 +9,14 @@ volume. ~90k of 17M points evaluated per 257³ frame at IOU 1.0.
 
 TPU-first redesign (vs the reference's dynamic octree):
   * every level has a **static shape**: candidate voxels are compacted
-    into a fixed-budget padded index buffer with ``jnp.flatnonzero(size=K)``
-    (cumsum+gather under XLA — no dynamic shapes, one compile);
+    into a fixed-budget padded index buffer — no dynamic shapes, one
+    compile;
+  * compaction and write-back are scatter-free (ops/compaction.py:
+    batched cumsum + binary-search gathers + rank-field gather), because
+    TPU scalar scatters measure ~150ms at volume scale;
   * upsampling is the separable matmul interpolation of ops/resize.py
     (exact on the nested 2^k+1 grids, align_corners=True);
-  * boundary detection + dilation are reduce_window max ops (VPU);
-  * out-of-budget / padding lanes scatter with mode='drop'.
+  * boundary detection + dilation are elementwise shift-ors (VPU).
 
 The band threshold ``tau`` plus dilation plays the role of the reference's
 ``balance_value``/dilation; budgets mirror the fixed-evaluation idea of its
