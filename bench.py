@@ -59,7 +59,8 @@ def build_frame():
         budgets=(0, 4096, 16384),
         boundary_tau=cfg.recon.boundary_tau,
         dilate=cfg.recon.dilate,
-        balance_value=cfg.recon.balance_value)
+        balance_value=cfg.recon.balance_value,
+        select="uncertain")  # overflow degrades gracefully, never truncates
     # fine rays restricted to a 192^2 bbox window (75% of the frame —
     # matches the reference's own detection-region prior, RTL/main.py:290)
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
@@ -87,7 +88,7 @@ def build_frame():
             analytic = jax.nn.sigmoid((1.0 - d) * 20.0)[..., None]
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
 
-        vol = engine.recon(query_occ)
+        vol, counts = engine.recon(query_occ, return_counts=True)
         maps = ray_refine(query_occ, vol, engine.fine_res,
                           taps=engine.ray_taps, window=engine.ray_window)
         render_norm, mask = visualize(shade_normal(maps), engine.render_size)
@@ -104,26 +105,31 @@ def build_frame():
         tex_canvas = colorize(maps, query_color, engine.fine_res)
         render_tex, mask_tex = visualize(tex_canvas, engine.render_size)
         return {"render_norm": render_norm, "render_tex": render_tex,
-                "mask": mask_tex}
+                "mask": mask_tex,
+                "recon_counts": jnp.stack(counts).astype(jnp.int32)}
 
-    return frame_impl, params_g, params_c, image, calib
+    return frame_impl, params_g, params_c, image, calib, engine
 
 
 def main():
-    frame_impl, params_g, params_c, image, calib = build_frame()
+    frame_impl, params_g, params_c, image, calib, engine = build_frame()
     iters = 30
+    n_levels = len(engine.recon.resolutions) - 1
 
     @jax.jit
     def bench_loop(params_g, params_c, img):
         # params enter as jit arguments (NOT closure constants: embedding
         # ~60MB of weights as IR literals blows up compile time and can
         # crash the TPU backend's register allocator)
-        def body(_, img):
+        def body(_, carry):
+            img, _ = carry
             out = frame_impl(params_g, params_c, img, img, calib)
-            return img + out["mask"].astype(jnp.float32).sum() * 1e-12
-        return jax.lax.fori_loop(0, iters, body, img)
+            return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
+                    out["recon_counts"])
+        return jax.lax.fori_loop(
+            0, iters, body, (img, jnp.zeros((n_levels,), jnp.int32)))
 
-    out = bench_loop(params_g, params_c, image)   # compile + run
+    out, counts = bench_loop(params_g, params_c, image)   # compile + run
     _ = np.asarray(out[0, 0, 0, 0])
 
     t0 = time.perf_counter()
@@ -132,11 +138,13 @@ def main():
     rtt = (time.perf_counter() - t0) / 3
 
     t0 = time.perf_counter()
-    out = bench_loop(params_g, params_c, image)
+    out, counts = bench_loop(params_g, params_c, image)
     _ = np.asarray(out[0, 0, 0, 0])
     dt = (time.perf_counter() - t0 - rtt) / iters
     fps = 1.0 / dt
 
+    counts = np.asarray(counts).tolist()         # after timing: tiny fetch
+    budgets = list(engine.recon.budgets[1:])
     print(json.dumps({
         "metric": "end-to-end recon FPS at 256^3-equivalent (netG filter +"
                   " hierarchical occupancy + ray-refined depth/normals +"
@@ -144,6 +152,9 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "recon_band_counts": counts,
+        "recon_band_budgets": budgets,
+        "recon_band_overflow": any(c > b for c, b in zip(counts, budgets)),
     }))
 
 

@@ -237,8 +237,11 @@ def build_pipeline(args, cfg, state: FrameState):
     stream = open_stream(camera=args.camera, videos=args.videos,
                          images=args.images, image_folder=args.image_folder,
                          loop=args.loop)
-    return Pipeline(stream, [stage_segment, stage_device, stage_composite],
-                    max_queue=2, name="rtl")
+    pipeline = Pipeline(stream, [stage_segment, stage_device,
+                                 stage_composite],
+                        max_queue=2, name="rtl")
+    pipeline.engine = engine  # for end-of-run band telemetry (main_loop)
+    return pipeline
 
 
 class MJPEGHandler(BaseHTTPRequestHandler):
@@ -288,15 +291,18 @@ _HOTKEYS = {"q": ("desktop_mode", "SEGM"), "w": ("desktop_mode", "NORM"),
 
 def main_loop(args, cfg, state: FrameState):
     pipeline = build_pipeline(args, cfg, state)
-    n = 0
+    n, last = 0, None
     for d in pipeline:
         n += 1
+        last = d
         if args.desktop:
             _desktop_window(d, state)
         if args.max_frames and n >= args.max_frames:
             pipeline.close()
             break
     print(pipeline.report())
+    if last is not None and "recon_counts" in last:
+        print(pipeline.engine.band_report(last))
     return n
 
 

@@ -172,7 +172,10 @@ def get_cfg_defaults() -> CfgNode:
     c.recon.budgets = [0, 16384, 32768, 131072, 262144]  # 0 = dense level
     c.recon.boundary_tau = 0.20
     c.recon.dilate = 1
-    c.recon.select = "first"           # or "uncertain" (Seg3dTopk-style)
+    # 'uncertain' (Seg3dTopk-style) by default: on budget overflow the
+    # most-confident voxels are dropped first, so the iso-band survives
+    # instead of silently truncating the far side of the scan order
+    c.recon.select = "uncertain"       # or "first" (scan order, cheapest)
     # mode 'dense' = exact full-resolution volume; 'ray' = coarse volume +
     # per-ray refinement (the real-time path; see recon/ray_refine.py)
     c.recon.mode = "dense"

@@ -109,7 +109,7 @@ class ReconEngine:
             return self.netG.apply(params_g, feats_g, pts, calib,
                                    method="query", head_fn=head_g)[0]
 
-        vol = self.recon(query_occ)
+        vol, counts = self.recon(query_occ, return_counts=True)
         if self.mode == "ray":
             from .recon.ray_refine import ray_refine
             resolution = self.fine_res
@@ -128,6 +128,10 @@ class ReconEngine:
         render_norm, mask = visualize(norm_canvas, self.render_size)
         out = {"sdf": vol, "depth": maps.depth, "valid": maps.valid,
                "render_norm": render_norm, "mask": mask}
+        if counts:
+            # per-refine-level candidate counts (budget-overflow telemetry;
+            # compare against self.recon.budgets[1:])
+            out["recon_counts"] = jnp.stack(counts)
 
         if self.netC is not None and params_c is not None:
             feat_prior = feats_g[-1][-1]
@@ -145,6 +149,31 @@ class ReconEngine:
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
         return out
+
+    def band_report(self, out) -> str:
+        """Per-level candidate counts vs budgets from a frame's output dict
+        (fetches recon_counts). Flags budget overflow — with
+        select='uncertain' an overflow degrades gracefully (most-confident
+        voxels dropped first), but it should still be visible, not silent."""
+        import numpy as np
+
+        if "recon_counts" not in out:
+            return "recon band: no refine levels"
+        counts = np.asarray(out["recon_counts"]).tolist()
+        budgets = list(self.recon.budgets[1:])
+        parts, overflow = [], False
+        for res, c, b in zip(self.recon.resolutions[1:], counts, budgets):
+            flag = ""
+            if c > b:
+                overflow = True
+                flag = " OVERFLOW" if self.recon.select == "uncertain" \
+                    else " OVERFLOW(TRUNCATED)"
+            parts.append(f"{res}^3: {int(c)}/{b}{flag}")
+        head = "recon band candidates/budget — "
+        if overflow:
+            head = ("recon band OVER BUDGET (raise recon.budgets or keep "
+                    "select='uncertain' for graceful degradation) — ")
+        return head + ", ".join(parts)
 
     def frame(self, params_g: Any, image_g: jax.Array,
               params_c: Any = None, image_c: Optional[jax.Array] = None,

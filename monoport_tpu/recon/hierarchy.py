@@ -50,10 +50,12 @@ class HierarchicalRecon:
     budgets: Sequence[int] = (0, 16384, 65536, 131072, 262144)
     boundary_tau: float = 0.2
     dilate: int = 1
-    # 'first': first-K candidates in scan order (cheapest). 'uncertain':
-    # order by |occ - balance| so budget overflow drops the most-confident
-    # voxels first — the Seg3dTopk fixed-budget idea (SURVEY §2.3).
-    select: str = "first"
+    # 'uncertain' (default): two-tier priority by |occ - balance| so budget
+    # overflow drops the most-confident voxels first — the Seg3dTopk
+    # fixed-budget idea (SURVEY §2.3). 'first': first-K candidates in scan
+    # order (cheapest, but overflow silently never refines the far side of
+    # the volume — only safe when budgets provably exceed the band).
+    select: str = "uncertain"
 
     def __post_init__(self):
         assert len(self.budgets) == len(self.resolutions)

@@ -160,6 +160,52 @@ def test_hierarchy_uncertain_selection():
                                   np.asarray(occ_d) > 0.5)
 
 
+def test_budget_overflow_uncertain_preserves_band():
+    """Candidates genuinely exceed the budget: 'uncertain' drops the
+    most-confident voxels first so the iso-band survives; 'first' truncates
+    in scan order and must never silently win."""
+    res = (9, 17, 33)
+    probe = HierarchicalRecon(resolutions=res, budgets=(0, 4096, 16384))
+    _, counts = probe(sphere_query, return_counts=True)
+    band = int(counts[-1])
+    budget = band // 2
+    assert band > budget > 0  # the overflow regime is actually exercised
+
+    occ_d = np.asarray(dense_eval(sphere_query, 33, chunk=8192))
+
+    def iou(occ):
+        a, b = np.asarray(occ) > 0.5, occ_d > 0.5
+        return (a & b).sum() / (a | b).sum()
+
+    occ_u = HierarchicalRecon(resolutions=res, budgets=(0, 4096, budget),
+                              select="uncertain")(sphere_query)
+    occ_f = HierarchicalRecon(resolutions=res, budgets=(0, 4096, budget),
+                              select="first")(sphere_query)
+    assert iou(occ_u) >= iou(occ_f)
+    assert iou(occ_u) > 0.99, iou(occ_u)
+    # the surface-adjacent (most-uncertain) voxels were evaluated exactly,
+    # not guessed: dense-band values match the oracle
+    hot = np.abs(occ_d - 0.5) < 0.06
+    assert hot.sum() > 50
+    np.testing.assert_allclose(np.asarray(occ_u)[hot], occ_d[hot], atol=5e-3)
+
+
+def test_band_report_flags_overflow():
+    """ReconEngine.band_report surfaces per-level counts and overflow."""
+    from types import SimpleNamespace
+
+    from monoport_tpu.engine import ReconEngine
+
+    recon = HierarchicalRecon(resolutions=(9, 17, 33), budgets=(0, 100, 200),
+                              select="uncertain")
+    dummy = SimpleNamespace(recon=recon)
+    out = {"recon_counts": jnp.asarray([50, 900])}
+    report = ReconEngine.band_report(dummy, out)
+    assert "OVERFLOW" in report and "900/200" in report
+    ok = ReconEngine.band_report(dummy, {"recon_counts": jnp.asarray([5, 9])})
+    assert "OVERFLOW" not in ok
+
+
 def test_ray_refine_scale4_quality():
     """Production config analog (coarse->fine scale 4, e.g. 65->257):
     wide-window taps still land within the reference's own 2-voxel
