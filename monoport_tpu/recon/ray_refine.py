@@ -37,11 +37,15 @@ from .depth_peel import SurfaceMaps, depth_peel
 
 def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  ax: jax.Array, by: jax.Array, rf: int, taps: int,
-                 scale: float, balance_value: float, b_min, b_max):
+                 scale: float, balance_value: float, b_min, b_max,
+                 spacing=(1.0, 1.0)):
     """Shared fine pass over an arbitrary ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
-    ax/by: [H, W] fine ray indices (x, y).
+    ax/by: [H, W] fine ray indices (x, y);
+    spacing: ray pitch in fine units along each grid axis (>1 when a
+    strided window covers a subject larger than the window — normals must
+    see the true x/y distance between neighbor rays).
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
@@ -88,8 +92,8 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     zpad_a = jnp.pad(z, ((2, 0), (0, 0)), mode="edge")[:h]
     zpad_b = jnp.pad(z, ((0, 0), (2, 0)), mode="edge")[:, :w]
     # v(x-2) - v(x) at fixed c ≈ (z(x-2) - z(x)) * dv/dc  (surface shift)
-    norm_x = (z - zpad_a) * dvdz
-    norm_y = (z - zpad_b) * dvdz
+    norm_x = (z - zpad_a) * dvdz / spacing[0]
+    norm_y = (z - zpad_b) * dvdz / spacing[1]
     norm_z = v2 - v1
     norm = jnp.stack([norm_x, norm_y, norm_z], axis=-1)
     norm = norm / jnp.maximum(
@@ -137,27 +141,76 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
         return _refine_core(query_fn, depth_f, valid_f, ax, by, rf, taps,
                             scale, balance_value, b_min, b_max)
 
-    # --- windowed fine pass ---
-    v = coarse.valid.astype(jnp.float32)
-    count = jnp.maximum(v.sum(), 1.0)
-    idx = jnp.arange(rc, dtype=jnp.float32)
-    cx = (v.sum(axis=1) * idx).sum() / count * scale
-    cy = (v.sum(axis=0) * idx).sum() / count * scale
-    sx = jnp.clip(jnp.round(cx - window / 2), 0, rf - window).astype(jnp.int32)
-    sy = jnp.clip(jnp.round(cy - window / 2), 0, rf - window).astype(jnp.int32)
-
-    d_w = jax.lax.dynamic_slice(depth_f, (sx, sy), (window, window))
-    v_w = jax.lax.dynamic_slice(valid_f, (sx, sy), (window, window))
-    aw = sx.astype(jnp.float32) + jnp.arange(window, dtype=jnp.float32)
-    bw = sy.astype(jnp.float32) + jnp.arange(window, dtype=jnp.float32)
+    # --- adaptive windowed fine pass ---
+    # window x window rays are spread over the subject's bbox (from the
+    # coarse valid mask) at stride >= 1: a subject larger than the window
+    # gets proportionally lower ray density over its FULL extent instead of
+    # a hard quality cliff at the window border (the reference refines the
+    # whole 257^3 volume without any window, RTL/main.py:390-395).
+    x0, sx_stride = _axis_window(coarse.valid.any(axis=1), rc, rf, scale,
+                                 window)
+    y0, sy_stride = _axis_window(coarse.valid.any(axis=0), rc, rf, scale,
+                                 window)
+    aw = x0 + jnp.arange(window, dtype=jnp.float32) * sx_stride
+    bw = y0 + jnp.arange(window, dtype=jnp.float32) * sy_stride
+    d_w = _sample_grid(depth_f, aw, bw)
+    v_w = _sample_grid(valid_f.astype(jnp.float32), aw, bw) > 0.0
     ax, by = jnp.meshgrid(aw, bw, indexing="ij")
     maps_w = _refine_core(query_fn, d_w, v_w, ax, by, rf, taps, scale,
-                          balance_value, b_min, b_max)
+                          balance_value, b_min, b_max,
+                          spacing=(sx_stride, sy_stride))
 
-    # paste the refined window over the coarse-upsampled full maps
-    depth = jax.lax.dynamic_update_slice(depth_f, maps_w.depth, (sx, sy))
-    # coarse normals outside the window: cheap screen-space fallback
-    norm_full = jnp.zeros((rf, rf, 3), jnp.float32).at[..., 2].set(-1.0)
-    norm = jax.lax.dynamic_update_slice(norm_full, maps_w.normal,
-                                        (sx, sy, jnp.int32(0)))
+    # resample the refined window back onto the full fine grid (exact
+    # gather when stride == 1); outside the window keep the coarse maps
+    u = (jnp.arange(rf, dtype=jnp.float32) - x0) / sx_stride
+    v = (jnp.arange(rf, dtype=jnp.float32) - y0) / sy_stride
+    inside = ((u >= 0) & (u <= window - 1))[:, None] & \
+             ((v >= 0) & (v <= window - 1))[None, :]
+    uc = jnp.clip(u, 0.0, window - 1)
+    vc = jnp.clip(v, 0.0, window - 1)
+    depth = jnp.where(inside, _sample_grid(maps_w.depth, uc, vc), depth_f)
+    norm_fallback = jnp.zeros((rf, rf, 3), jnp.float32).at[..., 2].set(-1.0)
+    norm_w = jnp.stack([_sample_grid(maps_w.normal[..., k], uc, vc)
+                        for k in range(3)], axis=-1)
+    norm_w = norm_w / jnp.maximum(
+        jnp.linalg.norm(norm_w, axis=-1, keepdims=True), 1e-9)
+    norm = jnp.where(inside[..., None], norm_w, norm_fallback)
     return SurfaceMaps(depth=depth, normal=norm, valid=valid_f)
+
+
+def _axis_window(any_valid: jax.Array, rc: int, rf: int, scale: float,
+                 window: int):
+    """Start (fine units, snapped to the stride lattice) and stride for one
+    window axis, covering the subject's coarse-valid extent with margin."""
+    idx = jnp.arange(rc, dtype=jnp.float32)
+    big = jnp.float32(rc)
+    lo = jnp.min(jnp.where(any_valid, idx, big))
+    hi = jnp.max(jnp.where(any_valid, idx, -1.0))
+    has = hi >= lo
+    lo = jnp.where(has, lo, 0.0)
+    hi = jnp.where(has, hi, rc - 1.0)
+    margin = 1.5 * scale  # the crossing can sit +-1 coarse voxel out
+    f_lo = jnp.maximum(lo * scale - margin, 0.0)
+    f_hi = jnp.minimum(hi * scale + margin, rf - 1.0)
+    stride = jnp.maximum((f_hi - f_lo) / (window - 1), 1.0)
+    center = (f_lo + f_hi) * 0.5
+    start = center - stride * (window - 1) * 0.5
+    start = jnp.clip(start, 0.0, rf - 1 - stride * (window - 1))
+    # integer start when unstrided keeps the fit-in-window path an exact
+    # gather (and bit-equal to the unwindowed pass over the subject)
+    start = jnp.where(stride <= 1.0, jnp.round(start), start)
+    return start, stride
+
+
+def _sample_grid(img: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:
+    """Separable bilinear sample of img [H, W] at the outer-product grid
+    xi [h] x yi [w] (float indices, assumed in-range) -> [h, w]."""
+    h, w = img.shape
+    x0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.minimum(x0 + 1, h - 1)
+    fx = jnp.clip(xi - x0, 0.0, 1.0)
+    rows = img[x0] * (1.0 - fx)[:, None] + img[x1] * fx[:, None]   # [h, W]
+    y0 = jnp.clip(jnp.floor(yi).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, w - 1)
+    fy = jnp.clip(yi - y0, 0.0, 1.0)
+    return rows[:, y0] * (1.0 - fy)[None, :] + rows[:, y1] * fy[None, :]

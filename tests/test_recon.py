@@ -258,3 +258,47 @@ def test_ray_refine_window_matches_full():
     n_win = np.asarray(win.normal)
     ok = vf & np.isfinite(n_full).all(-1)
     np.testing.assert_allclose(n_win[ok], n_full[ok], atol=1e-4)
+
+
+def test_ray_refine_subject_larger_than_window():
+    """A subject overflowing the window gets strided (lower-density) rays
+    over its FULL extent — no quality cliff at the window border (the
+    reference refines the whole volume unwindowed, RTL/main.py:390-395)."""
+    from monoport_tpu.recon.ray_refine import ray_refine
+
+    def big_query(points):
+        d = jnp.linalg.norm(points / jnp.asarray([0.85, 0.9, 0.5]), axis=-1)
+        return jax.nn.sigmoid((1.0 - d) * 12.0)[..., None]
+
+    recon_c = HierarchicalRecon(resolutions=(9, 17, 33),
+                                budgets=(0, 4096, 16384))
+    vol_c = recon_c(big_query)
+    rf = 65
+    win = ray_refine(big_query, vol_c, rf, taps=6, window=24)
+    ref = depth_peel(dense_eval(big_query, rf, chunk=16384), "front")
+
+    import scipy.ndimage as ndi
+    vf = np.asarray(ref.valid)
+    interior = ndi.binary_erosion(vf, iterations=3) & np.asarray(win.valid)
+    assert interior.sum() > 800  # subject genuinely spans >> 24 rays
+    d_err = np.abs(np.asarray(ref.depth) - np.asarray(win.depth))[interior]
+    assert np.median(d_err) < 1.0, np.median(d_err)
+    # normals must be real everywhere on the subject (the old fixed window
+    # left constant (0,0,-1) outside itself)
+    n_ref = np.asarray(ref.normal)
+    n_win = np.asarray(win.normal)
+    ok = interior & np.isfinite(n_ref).all(-1)
+    cos = np.sum(n_ref[ok] * n_win[ok], axis=-1)
+    assert np.median(cos) > 0.95, np.median(cos)
+    # specifically at the subject's extremes (outside any centered 24-ray
+    # window): still refined, not the old fallback constant (0,0,-1)
+    xs = np.where(interior.any(axis=1))[0]
+    rim = interior.copy()
+    rim[xs.min() + 8:, :] = False      # keep only the top slab
+    assert rim.sum() > 10
+    n_rim = n_win[rim]
+    is_fallback = (np.abs(n_rim - np.asarray([0, 0, -1.0])) < 1e-6).all(-1)
+    assert is_fallback.mean() < 0.05, is_fallback.mean()
+    cos_rim = np.sum(n_ref[rim & ok] * n_win[rim & ok], axis=-1)
+    # grazing-angle strided rays are noisier but still oriented right
+    assert np.median(cos_rim) > 0.7, np.median(cos_rim)
