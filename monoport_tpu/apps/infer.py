@@ -66,7 +66,7 @@ def reconstruct(args, cfg):
         params_g = _init_random_params(netG)
 
     frame = load_image(args.image)
-    seg = Segmentation(variables=None)
+    seg = Segmentation.load_default()
     segm, bboxes, probs = seg(jnp.asarray(frame[None]))
     mean = np.asarray(cfg.netG.mean, np.float32)
     std = np.asarray(cfg.netG.std, np.float32)

@@ -157,7 +157,7 @@ def build_pipeline(args, cfg, state: FrameState):
         ray_window=cfg.recon.ray_window or None,
         compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
         use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
-    seg = Segmentation(variables=None)  # box-prior fallback (no ckpt)
+    seg = Segmentation.load_default()  # trained MatteNet (box fallback if absent)
     scene = MonoPortScene(size=(256, 256))
 
     mean = np.asarray(cfg.netG.mean, np.float32)

@@ -31,7 +31,7 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=0)
     args = parser.parse_args(argv)
 
-    seg = Segmentation(variables=None)
+    seg = Segmentation.load_default()
 
     def stage_segment(frame):
         segm, bboxes, probs = seg(jnp.asarray(frame[None]))

@@ -116,6 +116,26 @@ class Segmentation:
             [scaled_boxes or [50.0, 0.0, 450.0, 500.0]], jnp.float32)
         self._call = jax.jit(self._impl)
 
+    @classmethod
+    def load_default(cls, ckpt_path: Optional[str] = None,
+                     scaled_boxes: Optional[Sequence[float]] = None
+                     ) -> "Segmentation":
+        """Segmentation with the committed in-repo MatteNet weights
+        (trained by apps/train_matting.py); box-prior fallback if the
+        checkpoint is absent. Mirrors the reference's implicit 'weights are
+        downloaded and just load' contract (README.md:59-60)."""
+        import os
+
+        if ckpt_path is None:
+            ckpt_path = os.path.join(os.path.dirname(__file__), os.pardir,
+                                     "data", "mattenet.npz")
+        if not os.path.exists(ckpt_path):
+            return cls(variables=None, scaled_boxes=scaled_boxes)
+        from ..training.matting import load_params
+
+        params, width = load_params(ckpt_path)
+        return cls(variables=params, width=width, scaled_boxes=scaled_boxes)
+
     def _impl(self, images: jax.Array, boxes: jax.Array):
         b, h, w, _ = images.shape
         prior = _box_mask((b, h, w), boxes, h, w)
