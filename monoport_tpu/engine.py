@@ -38,12 +38,18 @@ class ReconEngine:
                  compute_dtype=jnp.float32, mode: str = "dense",
                  fine_res: int = 257, ray_taps: int = 6,
                  ray_window: int | None = None,
-                 use_pallas: bool = False, pallas_interpret: bool = False):
+                 use_pallas: bool = False, pallas_interpret: bool = False,
+                 use_ray_query: bool = True):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
         use_pallas: run the surface MLPs with the fused VMEM-resident
-        Pallas kernel (ops/pallas/fused_mlp.py)."""
+        Pallas kernels (ops/pallas/).
+        use_ray_query: ray-structured fine pass (one gather + shared skip
+        x-projections per ray, ops/pallas/fused_ray_mlp.py). Requires the
+        flagship front-orthographic calibration (pifu_calib: no z term in
+        the image-plane rows, RTL/recon.py:13-21) — set False for
+        arbitrary rotating calibs."""
         assert mode in ("dense", "ray")
         self.netG = netG
         self.netC = netC
@@ -57,6 +63,7 @@ class ReconEngine:
         self.ray_window = ray_window
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
+        self.use_ray_query = use_ray_query
         self._frame = jax.jit(self._frame_impl)
 
     def _feats_f32(self, feats):
@@ -87,6 +94,42 @@ class ReconEngine:
         return functools.partial(apply_packed, packed, last_op=last_op,
                                  compute_dtype=dtype,
                                  interpret=self.pallas_interpret)
+
+    def _query_taps_fn(self, net: MonoPortNet, params: Any, feats, calib):
+        """Ray-structured occupancy query for the fine pass, or None when
+        the net config can't use it (soft-onehot z, non-orthogonal)."""
+        if not self.use_ray_query:
+            return None
+        from .config import CN
+        from .models.heads import HEAD_SPECS
+        from .ops.pallas.fused_ray_mlp import (apply_ray_packed,
+                                               apply_ray_xla,
+                                               pack_ray_mlp_params)
+
+        opt = CN(net.opt_net)
+        if opt.projection != "orthogonal" or \
+                opt.normalizer.get("soft_onehot", False):
+            return None
+        last_op = HEAD_SPECS[opt.head.IMF][1]
+        dtype = (self.compute_dtype if self.compute_dtype != jnp.float32
+                 else jnp.float32)
+        # channels inferred from the params: small-backbone configs have a
+        # narrower head input than the PIFu factory spec (flax Dense infers)
+        packed = pack_ray_mlp_params(params["params"]["surface_classifier"],
+                                     dtype=dtype)
+        if self.use_pallas:
+            head = functools.partial(apply_ray_packed, packed,
+                                     last_op=last_op, compute_dtype=dtype,
+                                     interpret=self.pallas_interpret)
+        else:
+            head = functools.partial(apply_ray_xla, packed,
+                                     last_op=last_op, compute_dtype=dtype)
+
+        def query_taps(xy, z_taps):
+            return net.apply(params, feats, xy, z_taps, calib,
+                             method="query_taps", head_taps_fn=head)[..., 0]
+
+        return query_taps
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32 or tree is None:
@@ -119,7 +162,9 @@ class ReconEngine:
                               b_min=self.recon.b_min,
                               b_max=self.recon.b_max,
                               direction=self.direction,
-                              window=self.ray_window)
+                              window=self.ray_window,
+                              query_taps_fn=self._query_taps_fn(
+                                  self.netG, params_g, feats_g, calib))
         else:
             resolution = self.recon.resolutions[-1]
             maps = depth_peel(vol, self.direction,

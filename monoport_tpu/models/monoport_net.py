@@ -94,6 +94,53 @@ class MonoPortNet(nn.Module):
             preds.append(in_img[..., None].astype(pred.dtype) * pred)
         return preds
 
+    # -- ray-structured query (fine-pass fast path) --------------------------
+    def query_taps(self, feats_stages: FeatStages, xy_world: jax.Array,
+                   z_world: jax.Array,
+                   calibs: Optional[jax.Array] = None,
+                   transforms: Optional[jax.Array] = None,
+                   head_taps_fn=None) -> jax.Array:
+        """Eval-mode query of T z-taps per ray: [B,R,2] xy + [B,R,T] z ->
+        [B, R, T, Res].
+
+        Same arithmetic as ``query`` on the expanded [B, R*T, 3] batch, but
+        exploits that all taps of a ray share (x, y): the pixel-aligned
+        feature gather (geometry.py:4-16) runs once per ray, and
+        ``head_taps_fn`` (ops/pallas/fused_ray_mlp.py) shares the skip
+        x-projections across taps. VALID ONLY when the calibration's
+        image-plane rows have no z term — true for the flagship pifu_calib
+        (RTL/recon.py:13-21) — and for the plain z*scale normalizer.
+        """
+        assert not self.normalizer.soft_onehot, \
+            "query_taps requires the scalar z normalizer"
+        feats = feats_stages[-1]
+        base = jnp.concatenate([xy_world, z_world[..., :1]], axis=-1)
+        xyz = self.projection(base, calibs, transforms) \
+            if calibs is not None else base
+        xy = xyz[..., :2]
+        in_img = ((xy[..., 0] >= -1.0) & (xy[..., 0] <= 1.0)
+                  & (xy[..., 1] >= -1.0) & (xy[..., 1] <= 1.0))
+        # projected z per tap: the z row may mix x/y (fixed per ray), so
+        # only the z-coefficient times the tap offset moves it
+        zz = (calibs[:, 2, 2] if calibs is not None
+              else jnp.ones((xy.shape[0],), xy.dtype))
+        zc = xyz[..., 2:] + zz[:, None, None] * (z_world - z_world[..., :1])
+        z_feat = self.normalizer(zc[..., None])[..., 0]      # [B, R, T]
+        feat = jnp.concatenate([index(f, xy) for f in feats], axis=-1)
+        if head_taps_fn is not None:
+            pred = head_taps_fn(feat, z_feat.astype(feat.dtype))
+        else:
+            # correctness fallback through the flax head (still saves the
+            # per-tap gathers): expand taps into the point axis
+            b, r, t = z_feat.shape
+            x = jnp.concatenate([
+                jnp.broadcast_to(feat[:, :, None],
+                                 (b, r, t, feat.shape[-1])),
+                z_feat[..., None].astype(feat.dtype)], axis=-1)
+            pred = self.surface_classifier(
+                x.reshape(b, r * t, -1)).reshape(b, r, t, -1)
+        return in_img[..., None, None].astype(pred.dtype) * pred
+
     # -- loss (MonoPortNet.py:93-117) ----------------------------------------
     def get_loss(self, pred_stages: Sequence[jax.Array],
                  labels: jax.Array) -> jax.Array:

@@ -38,14 +38,18 @@ from .depth_peel import SurfaceMaps, depth_peel
 def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  ax: jax.Array, by: jax.Array, rf: int, taps: int,
                  scale: float, balance_value: float, b_min, b_max,
-                 spacing=(1.0, 1.0)):
+                 spacing=(1.0, 1.0), query_taps_fn: Callable | None = None):
     """Shared fine pass over an arbitrary ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
     ax/by: [H, W] fine ray indices (x, y);
     spacing: ray pitch in fine units along each grid axis (>1 when a
     strided window covers a subject larger than the window — normals must
-    see the true x/y distance between neighbor rays).
+    see the true x/y distance between neighbor rays);
+    query_taps_fn: optional ray-structured query ([1,R,2] xy world +
+    [1,R,T] z world -> [1,R,T] occupancy) — the fused gather-once-per-ray
+    fast path (ops/pallas/fused_ray_mlp.py) — else the generic per-point
+    ``query_fn`` runs on the flattened [1, R*T, 3] batch.
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
@@ -57,14 +61,20 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     b_min = jnp.asarray(b_min, jnp.float32)
     b_max = jnp.asarray(b_max, jnp.float32)
     step = (b_max - b_min) / (rf - 1)
-    # vol index i = rf-1-c (depth_peel convention); world from (x, y, i)
-    wx = (ax * step[0] + b_min[0])[..., None] + 0 * c_taps
-    wy = (by * step[1] + b_min[1])[..., None] + 0 * c_taps
-    wz = ((rf - 1) - c_taps) * step[2] + b_min[2]
-    pts = jnp.stack([wx, wy, wz], axis=-1).reshape(1, -1, 3)    # [1, N*T, 3]
-
     h, w = depth_f.shape
-    vals = query_fn(pts)[0, :, 0].reshape(h, w, taps).astype(jnp.float32)
+    # vol index i = rf-1-c (depth_peel convention); world from (x, y, i)
+    wz = ((rf - 1) - c_taps) * step[2] + b_min[2]               # [H, W, T]
+    if query_taps_fn is not None:
+        xy = jnp.stack([ax * step[0] + b_min[0],
+                        by * step[1] + b_min[1]], axis=-1)      # [H, W, 2]
+        vals = query_taps_fn(xy.reshape(1, -1, 2),
+                             wz.reshape(1, -1, taps))
+        vals = vals.reshape(h, w, taps).astype(jnp.float32)
+    else:
+        wx = (ax * step[0] + b_min[0])[..., None] + 0 * c_taps
+        wy = (by * step[1] + b_min[1])[..., None] + 0 * c_taps
+        pts = jnp.stack([wx, wy, wz], axis=-1).reshape(1, -1, 3)
+        vals = query_fn(pts)[0, :, 0].reshape(h, w, taps).astype(jnp.float32)
 
     # first tap (smallest c) that is inside the surface
     occ = vals > balance_value
@@ -118,7 +128,8 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
                taps: int = 6, balance_value: float = 0.5,
                b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
                direction: str = "front",
-               window: int | None = None) -> SurfaceMaps:
+               window: int | None = None,
+               query_taps_fn: Callable | None = None) -> SurfaceMaps:
     """-> SurfaceMaps at ``fine_res`` ray resolution (depth in fine voxel
     units along the viewing axis, matching depth_peel's convention).
 
@@ -139,7 +150,8 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
         a = jnp.arange(rf, dtype=jnp.float32)
         ax, by = jnp.meshgrid(a, a, indexing="ij")
         return _refine_core(query_fn, depth_f, valid_f, ax, by, rf, taps,
-                            scale, balance_value, b_min, b_max)
+                            scale, balance_value, b_min, b_max,
+                            query_taps_fn=query_taps_fn)
 
     # --- adaptive windowed fine pass ---
     # window x window rays are spread over the subject's bbox (from the
@@ -158,7 +170,8 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
     ax, by = jnp.meshgrid(aw, bw, indexing="ij")
     maps_w = _refine_core(query_fn, d_w, v_w, ax, by, rf, taps, scale,
                           balance_value, b_min, b_max,
-                          spacing=(sx_stride, sy_stride))
+                          spacing=(sx_stride, sy_stride),
+                          query_taps_fn=query_taps_fn)
 
     # resample the refined window back onto the full fine grid (exact
     # gather when stride == 1); outside the window keep the coarse maps
