@@ -22,12 +22,21 @@ Prints ONE JSON line; vs_baseline = FPS / 30 (the north-star target).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# experiment knobs (official bench = defaults):
+#   BENCH_RAY_QUERY=0     disable the ray-structured fused kernel (A/B)
+#   BENCH_BF16_FEATS=1    skip the f32-feature-map workaround (engine.
+#                         _feats_f32) — probes the TPU backend bug with the
+#                         6x-smaller gather batch of the ray path
+_RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
+_BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
 
 
 def build_frame():
@@ -65,10 +74,19 @@ def build_frame():
     # matches the reference's own detection-region prior, RTL/main.py:290)
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
                          ray_taps=6, ray_window=192,
-                         compute_dtype=jnp.bfloat16, use_pallas=True)
+                         compute_dtype=jnp.bfloat16, use_pallas=True,
+                         use_ray_query=_RAY_QUERY)
+    if _BF16_FEATS:
+        engine._feats_f32 = lambda feats: feats
 
     from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
     from monoport_tpu.recon.ray_refine import ray_refine
+
+    def _analytic(pts):
+        center = jnp.asarray([0.0, -0.1, 0.0])
+        radii = jnp.asarray([0.35, 0.8, 0.25])
+        d = jnp.linalg.norm((pts - center) / radii, axis=-1)
+        return jax.nn.sigmoid((1.0 - d) * 20.0)
 
     def frame_impl(params_g, params_c, image_g, image_c, calib_t):
         params_g = engine._cast(params_g)
@@ -82,15 +100,27 @@ def build_frame():
         def query_occ(pts):
             pred = engine.netG.apply(params_g, feats_g, pts, calib_t,
                                      method="query", head_fn=head_g)[0]
-            center = jnp.asarray([0.0, -0.1, 0.0])
-            radii = jnp.asarray([0.35, 0.8, 0.25])
-            d = jnp.linalg.norm((pts - center) / radii, axis=-1)
-            analytic = jax.nn.sigmoid((1.0 - d) * 20.0)[..., None]
+            analytic = _analytic(pts)[..., None]
+            return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
+
+        # fine pass via the ray-structured fused kernel (same swap: the
+        # real gather+MLP compute runs, the analytic value is selected)
+        qt = engine._query_taps_fn(engine.netG, params_g, feats_g, calib_t)
+
+        def query_taps_occ(xy, wz):
+            pred = qt(xy, wz)                              # [1, R, T]
+            pts = jnp.concatenate([
+                jnp.broadcast_to(xy[:, :, None], xy.shape[:2]
+                                 + (wz.shape[-1], 2)),
+                wz[..., None]], axis=-1)
+            analytic = _analytic(pts)
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
 
         vol, counts = engine.recon(query_occ, return_counts=True)
         maps = ray_refine(query_occ, vol, engine.fine_res,
-                          taps=engine.ray_taps, window=engine.ray_window)
+                          taps=engine.ray_taps, window=engine.ray_window,
+                          query_taps_fn=(query_taps_occ if qt is not None
+                                         else None))
         render_norm, mask = visualize(shade_normal(maps), engine.render_size)
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_c, feat_prior,

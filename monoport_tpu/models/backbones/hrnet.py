@@ -37,9 +37,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=PAD1, use_bias=False)(x)
+                      padding=PAD1, use_bias=False, name="conv1")(x)
         out = nn.relu(make_norm(self.norm, "bn1", self.planes)(out))
-        out = nn.Conv(self.planes, (3, 3), padding=PAD1, use_bias=False)(out)
+        out = nn.Conv(self.planes, (3, 3), padding=PAD1, use_bias=False,
+                      name="conv2")(out)
         out = make_norm(self.norm, "bn2", self.planes)(out)
         if x.shape[-1] != self.planes or self.stride != 1:
             residual = nn.Conv(self.planes, (1, 1),
@@ -58,12 +59,13 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False)(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(make_norm(self.norm, "bn1", self.planes)(out))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=PAD1, use_bias=False)(out)
+                      padding=PAD1, use_bias=False, name="conv2")(out)
         out = nn.relu(make_norm(self.norm, "bn2", self.planes)(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False)(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      name="conv3")(out)
         out = make_norm(self.norm, "bn3", self.planes * 4)(out)
         if x.shape[-1] != self.planes * 4 or self.stride != 1:
             residual = nn.Conv(self.planes * 4, (1, 1),
@@ -215,33 +217,45 @@ def _small_v2_cfg(c2, c3, c4, last_layer, blocks3=(2, 2, 2),
     }
 
 
+def _opt_norm(opt) -> str:
+    """Reference HRNet hardcodes BatchNorm (HRNetFilters.py:10); the TPU
+    default here is GroupNorm — set opt.norm='batch' for converted
+    pretrained weights."""
+    return opt.get("norm", "group") if opt else "group"
+
+
 def HRNetV2_W18_small_v2(opt=None, name=None):
     return HRNet(_small_v2_cfg([18, 36], [18, 36, 72], [18, 36, 72, 144],
-                               False), name=name)
+                               False), norm=_opt_norm(opt), name=name)
 
 
 def HRNetV2_W18_small_v2_balance(opt=None, name=None):
     return HRNet(_small_v2_cfg([80, 160], [80, 160, 240],
-                               [80, 160, 240, 360], False), name=name)
+                               [80, 160, 240, 360], False),
+                 norm=_opt_norm(opt), name=name)
 
 
 def HRNetV2_W18_small_v2_balance_gn32(opt=None, name=None):
     return HRNet(_small_v2_cfg([64, 128], [64, 128, 256],
-                               [64, 128, 256, 384], False), name=name)
+                               [64, 128, 256, 384], False),
+                 norm=_opt_norm(opt), name=name)
 
 
 def HRNetV2_W18_small_v2_balance_last(opt=None, name=None):
     return HRNet(_small_v2_cfg([80, 160], [80, 160, 240],
-                               [80, 160, 240, 360], True), name=name)
+                               [80, 160, 240, 360], True),
+                 norm=_opt_norm(opt), name=name)
 
 
 def HRNetV2_W18_small_v2_balance_v2(opt=None, name=None):
     return HRNet(_small_v2_cfg([80, 160], [80, 160, 380],
-                               [80, 160, 380, 520], False), name=name)
+                               [80, 160, 380, 520], False),
+                 norm=_opt_norm(opt), name=name)
 
 
 def HRNetV2_W18_small_v2_deeper(opt=None, name=None):
     return HRNet(_small_v2_cfg([80, 160], [80, 160, 320],
                                [80, 160, 320, 480], False,
                                blocks3=(2, 2, 3), blocks4=(2, 2, 3, 4),
-                               mods3=2, mods4=3), name=name)
+                               mods3=2, mods4=3),
+                 norm=_opt_norm(opt), name=name)
