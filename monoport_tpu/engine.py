@@ -39,7 +39,7 @@ class ReconEngine:
                  fine_res: int = 257, ray_taps: int = 6,
                  ray_window: int | None = None,
                  use_pallas: bool = False, pallas_interpret: bool = False,
-                 use_ray_query: bool = True):
+                 use_ray_query: bool = True, mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -49,8 +49,16 @@ class ReconEngine:
         x-projections per ray, ops/pallas/fused_ray_mlp.py). Requires the
         flagship front-orthographic calibration (pifu_calib: no z term in
         the image-plane rows, RTL/recon.py:13-21) — set False for
-        arbitrary rotating calibs."""
+        arbitrary rotating calibs.
+        mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
+        ray batches of every occupancy and texture query are sharded over
+        it (features replicated, XLA partitions the gathers+MLP GEMMs and
+        all-gathers the tiny occupancy outputs over ICI). The TPU analog
+        of SURVEY §5.7's long-axis scaling. Pallas heads are single-chip:
+        mesh forces the identical-math XLA paths."""
         assert mode in ("dense", "ray")
+        assert not (use_pallas and mesh is not None), \
+            "Pallas kernels are single-chip; mesh mode uses the XLA paths"
         self.netG = netG
         self.netC = netC
         self.recon = recon or HierarchicalRecon()
@@ -64,7 +72,19 @@ class ReconEngine:
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.use_ray_query = use_ray_query
+        self.mesh = mesh
         self._frame = jax.jit(self._frame_impl)
+
+    def _shard_points(self, x: jax.Array, axis: int = 1) -> jax.Array:
+        """Constrain a point/ray batch to the mesh's 'points' axis."""
+        if self.mesh is None or "points" not in self.mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * x.ndim
+        spec[axis] = "points"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec(*spec)))
 
     def _feats_f32(self, feats):
         """bf16 backbone -> f32 feature maps before the point queries.
@@ -126,6 +146,8 @@ class ReconEngine:
                                      last_op=last_op, compute_dtype=dtype)
 
         def query_taps(xy, z_taps):
+            xy = self._shard_points(xy)
+            z_taps = self._shard_points(z_taps)
             return net.apply(params, feats, xy, z_taps, calib,
                              method="query_taps", head_taps_fn=head)[..., 0]
 
@@ -149,6 +171,7 @@ class ReconEngine:
         head_g = self._head_fn(self.netG, params_g)
 
         def query_occ(pts):
+            pts = self._shard_points(pts)
             return self.netG.apply(params_g, feats_g, pts, calib,
                                    method="query", head_fn=head_g)[0]
 
@@ -186,6 +209,7 @@ class ReconEngine:
             head_c = self._head_fn(self.netC, params_c)
 
             def query_color(pts):
+                pts = self._shard_points(pts)
                 return self.netC.apply(params_c, feats_c, pts, calib,
                                        method="query", head_fn=head_c)[0]
 

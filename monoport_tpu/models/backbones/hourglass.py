@@ -33,12 +33,19 @@ def adaptive_groups(channels: int, max_groups: int = 32) -> int:
 
 
 def make_norm(norm: str, name: str, channels: int | None = None) -> nn.Module:
+    """'group' (PIFu configs), 'batch' (inference-mode running stats, for
+    converted reference HRNet/Yolov4 weights), or 'batch_train' (training-
+    mode BN: batch statistics + running-stat updates via
+    mutable=['batch_stats']; reference default for HRNet/Yolov4,
+    HRNetFilters.py:10). Under jit sharding the batch reduction is GLOBAL
+    across data-parallel shards — stronger than the reference's
+    nn.DataParallel per-GPU statistics. momentum 0.9 == torch's 0.1."""
     if norm == "group":
         groups = 32 if channels is None else adaptive_groups(channels)
         return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name)
-    if norm == "batch":
-        # inference-mode batch norm (running stats); PIFu configs use group
-        return nn.BatchNorm(use_running_average=True, epsilon=1e-5, name=name)
+    if norm in ("batch", "batch_train"):
+        return nn.BatchNorm(use_running_average=(norm != "batch_train"),
+                            epsilon=1e-5, momentum=0.9, name=name)
     raise ValueError(f"unknown norm: {norm}")
 
 

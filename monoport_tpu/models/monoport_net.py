@@ -168,6 +168,18 @@ class MonoPortNet(nn.Module):
         return pred_stages[-1]
 
 
+def eval_net(net: MonoPortNet) -> MonoPortNet:
+    """Inference-mode sibling of a net trained with norm='batch_train':
+    same parameter/batch_stats trees, BatchNorm switched to running stats.
+    Nets without train-mode BN are returned unchanged."""
+    from ..config import CN
+    opt = CN(net.opt_net)
+    if opt.backbone.get("norm", "group") == "batch_train":
+        opt.backbone.norm = "batch"
+        return MonoPortNet(opt)
+    return net
+
+
 def _pifu_opt(projection: str, backbone: str, head: str, loss: str):
     from ..config import CN
     opt = CN()

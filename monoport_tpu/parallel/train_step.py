@@ -25,6 +25,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    batch_stats: Any = None  # BN running stats (norm='batch_train' nets)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -68,21 +69,47 @@ def create_train_state(net, rng, example_batch, tx) -> TrainState:
                          labels=example_batch["labels"], train=True)
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"], opt_state=tx.init(
-                          variables["params"]), tx=tx)
+                          variables["params"]), tx=tx,
+                      batch_stats=variables.get("batch_stats"))
+
+
+def _make_loss_fn(net) -> Callable:
+    """(params, batch_stats|None, batch) -> (loss, new_batch_stats|None).
+
+    With batch_stats (norm='batch_train'), the forward runs training-mode
+    BN and returns the updated running stats; the batch-mean reduction is
+    global across any data-parallel sharding (jit inserts the collective)."""
+
+    def loss_fn(params, batch_stats, batch):
+        if batch_stats is None:
+            _, loss = net.apply({"params": params}, batch["images"],
+                                batch["points"], batch["calibs"],
+                                labels=batch["labels"], train=True)
+            return loss, None
+        (_, loss), new_vars = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], batch["points"], batch["calibs"],
+            labels=batch["labels"], train=True, mutable=["batch_stats"])
+        return loss, new_vars["batch_stats"]
+
+    return loss_fn
+
+
+def _step_body(loss_fn, state: TrainState, batch):
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, batch)
+    state = state.apply_gradients(grads)
+    if new_stats is not None:
+        state = state.replace(batch_stats=new_stats)
+    return state, loss
 
 
 def make_train_step(net, mesh=None) -> Callable:
     """Build the jitted train step; with a mesh, shard batch/state."""
-
-    def loss_fn(params, batch):
-        _, loss = net.apply({"params": params}, batch["images"],
-                            batch["points"], batch["calibs"],
-                            labels=batch["labels"], train=True)
-        return loss
+    loss_fn = _make_loss_fn(net)
 
     def step_fn(state: TrainState, batch) -> tuple[TrainState, jax.Array]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-        return state.apply_gradients(grads), loss
+        return _step_body(loss_fn, state, batch)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -104,16 +131,11 @@ def make_scan_train_step(net, mesh=None) -> Callable:
     make_train_step.
     """
 
-    def loss_fn(params, batch):
-        _, loss = net.apply({"params": params}, batch["images"],
-                            batch["points"], batch["calibs"],
-                            labels=batch["labels"], train=True)
-        return loss
+    loss_fn = _make_loss_fn(net)
 
     def scan_fn(state: TrainState, stacked_batches) -> tuple:
         def body(state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-            return state.apply_gradients(grads), loss
+            return _step_body(loss_fn, state, batch)
 
         return jax.lax.scan(body, state, stacked_batches)
 

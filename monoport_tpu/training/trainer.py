@@ -82,7 +82,10 @@ class Trainer:
     def load_params(self, variables: dict) -> None:
         """Adopt externally converted params (e.g. legacy PyTorch ckpts)."""
         assert self.state is not None, "call init_state first"
-        self.state = self.state.replace(params=variables["params"])
+        self.state = self.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats",
+                                      self.state.batch_stats))
 
     # -- checkpointing (reference update_ckpt/load_ckpt, trainer.py:61-90) --
     def update_ckpt(self, filename: str, epoch: int, iteration: int,
@@ -99,6 +102,8 @@ class Trainer:
             "opt": self.cfg.to_dict(),
             **kwargs,
         }
+        if self.state.batch_stats is not None:  # norm='batch_train' nets
+            ckpt["batch_stats"] = self.state.batch_stats
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, ckpt, force=True)
         self.logger.info("saving ckpt to %s", path)
@@ -111,6 +116,8 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckpt = ckptr.restore(path)
         self.state = self.state.replace(params=ckpt["params"])
+        if "batch_stats" in ckpt:
+            self.state = self.state.replace(batch_stats=ckpt["batch_stats"])
         if self.cfg.resume:
             self.logger.info("resume training with optimizer state")
             # orbax restores plain dict/list containers; graft the leaves
@@ -128,8 +135,14 @@ class Trainer:
     def evaluate(self, eval_batch: dict) -> dict:
         from .metrics import evaluate_occupancy
 
-        metrics = evaluate_occupancy(
-            self.net, {"params": self.state.params}, eval_batch)
+        from ..models.monoport_net import eval_net
+
+        variables = {"params": self.state.params}
+        net = self.net
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+            net = eval_net(net)  # running-stat BN for evaluation
+        metrics = evaluate_occupancy(net, variables, eval_batch)
         self.logger.info("eval iter %d: %s", self.iteration, metrics)
         if self.tb_writer is not None:
             for k, v in metrics.items():

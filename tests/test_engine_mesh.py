@@ -1,0 +1,49 @@
+"""Multi-chip inference: engine frame with point/ray batches sharded over
+the mesh 'points' axis must equal the single-device frame (SURVEY §5.7 —
+the long axis is the query-point count; the mesh shards it while features
+stay replicated)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monoport_tpu.engine import ReconEngine
+from monoport_tpu.parallel import make_mesh
+from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+
+def test_engine_mesh_matches_single_device():
+    from tests.test_engine import _nets
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
+              ray_taps=4)
+    single = ReconEngine(netG, netC, **kw)
+    mesh = make_mesh(len(jax.devices()))  # (data, points) axes
+    assert "points" in mesh.axis_names
+    sharded = ReconEngine(netG, netC, mesh=mesh, **kw)
+
+    out_s = single.frame(params_g, image, params_c, image, calib)
+    out_m = sharded.frame(params_g, image, params_c, image, calib)
+    for key in ("depth", "render_norm", "render_tex", "mask"):
+        np.testing.assert_allclose(np.asarray(out_m[key]),
+                                   np.asarray(out_s[key]),
+                                   atol=1e-5, err_msg=key)
+    # the fine ray batch must actually be partitioned, not replicated:
+    # compile the frame and look for sharded intermediates
+    lowered = jax.jit(sharded._frame_impl).lower(
+        params_g, params_c, image, image, calib)
+    txt = lowered.compile().as_text()
+    assert ("all-gather" in txt or "all-reduce" in txt
+            or "collective-permute" in txt), \
+        "no collectives in the compiled frame => nothing was sharded"
