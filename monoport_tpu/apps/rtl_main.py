@@ -102,6 +102,15 @@ def load_networks(cfg):
         from ..convert import load_legacy_pifu
         params_g = load_legacy_pifu(cfg.netG.ckpt_path,
                                     cfg.netG.backbone.IMF)
+    elif cfg.netG.backbone.IMF == "PIFuHGFilters":
+        # no checkpoint given: fall back to the committed in-repo netG
+        # trained on capsule humans (apps/train_capsule_netG.py) — far
+        # better than random init for the demo
+        default = os.path.join(os.path.dirname(__file__), os.pardir,
+                               "data", "netg_capsule.npz")
+        if os.path.exists(default):
+            from ..utils.params_io import load_params
+            params_g = {"params": load_params(default)[0]}
     netC, params_c = None, None
     if cfg.netC.ckpt_path and os.path.exists(cfg.netC.ckpt_path):
         from ..convert import load_legacy_pifu

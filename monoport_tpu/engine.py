@@ -74,6 +74,9 @@ class ReconEngine:
         self.use_ray_query = use_ray_query
         self.mesh = mesh
         self._frame = jax.jit(self._frame_impl)
+        # two vmapped variants at most: with / without a texture stream
+        # (in_axes differ; retraces for new shapes are jax.jit's job)
+        self._frames_jit: dict[bool, Any] = {}
 
     def _shard_points(self, x: jax.Array, axis: int = 1) -> jax.Array:
         """Constrain a point/ray batch to the mesh's 'points' axis."""
@@ -265,12 +268,10 @@ class ReconEngine:
         images_g = images_g[:, None]                  # [B, 1, H, W, 3]
         images_c = None if images_c is None else images_c[:, None]
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
-        key = images_c is None
-        if not hasattr(self, "_frames_jit"):
-            self._frames_jit = {}
-        if key not in self._frames_jit:  # cache per image_c presence
+        no_tex = images_c is None
+        if no_tex not in self._frames_jit:
             fn = jax.vmap(self._frame_impl,
-                          in_axes=(None, None, 0, None if key else 0, 0))
-            self._frames_jit[key] = jax.jit(fn)
-        return self._frames_jit[key](params_g, params_c, images_g,
-                                     images_c, calibs)
+                          in_axes=(None, None, 0, None if no_tex else 0, 0))
+            self._frames_jit[no_tex] = jax.jit(fn)
+        return self._frames_jit[no_tex](params_g, params_c, images_g,
+                                        images_c, calibs)

@@ -1,0 +1,155 @@
+"""On-device 3D capsule-human dataset — image + exact occupancy pairs.
+
+Role: runnable flagship-model training with zero external data (the
+reference's datasets point at private RenderPeople roots,
+ppl_dynamic.py:46-47, unreachable here). A randomized articulated capsule
+body is rendered orthographically by first-crossing ray march — so the
+image and the 3D occupancy labels are exactly consistent — and occupancy
+samples follow the reference's surface+uniform scheme
+(ppl_dynamic.py:262-298). Everything is jnp and PRNG-keyed: batches are
+generated INSIDE the jitted train step (zero host->device traffic, like
+training/matting.py).
+
+Shares the 2D skeleton of training/matting.py lifted to 3D: joints get
+z offsets so limbs leave the z=0 plane and the occupancy field is
+genuinely volumetric.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _rot(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+
+
+def skeleton3d(key):
+    """Random humanoid -> capsules (a [K,3], b [K,3], r [K]) in [-1,1]^3."""
+    ks = jax.random.split(key, 20)
+    u = lambda k, lo, hi: jax.random.uniform(ks[k], (), minval=lo, maxval=hi)
+    scale = u(0, 0.6, 1.0)
+    pelvis = jnp.stack([u(1, -0.25, 0.25), u(2, -0.35, 0.0),
+                        u(3, -0.15, 0.15)])
+    lean = u(4, -0.2, 0.2)
+    up2 = _rot(lean) @ jnp.array([0.0, 1.0])
+    up = jnp.stack([up2[0], up2[1], 0.0])
+
+    neck = pelvis + up * (0.52 * scale)
+    head_c = neck + up * (0.16 * scale)
+    torso_r = u(5, 0.13, 0.19) * scale
+    head_r = u(6, 0.09, 0.12) * scale
+
+    def limb(k0, root, base_angle, spread, l1, l2, r):
+        a1 = base_angle + u(k0, -spread, spread)
+        a2 = a1 + u(k0 + 1, -0.8, 0.8)
+        z1 = u(k0 + 2, -0.25, 0.25)          # out-of-plane
+        z2 = z1 + u(k0 + 3, -0.25, 0.25)
+        d1 = jnp.stack([jnp.cos(a1), jnp.sin(a1), z1])
+        d2 = jnp.stack([jnp.cos(a2), jnp.sin(a2), z2])
+        j1 = root + d1 / jnp.linalg.norm(d1) * (l1 * scale)
+        j2 = j1 + d2 / jnp.linalg.norm(d2) * (l2 * scale)
+        return [(root, j1, r * scale), (j1, j2, r * scale)]
+
+    down = -jnp.pi / 2 + lean
+    side = jnp.stack([up[1], -up[0], 0.0])
+    segs = [(pelvis, neck, torso_r), (head_c, head_c, head_r)]
+    segs += limb(7, neck - side * (0.10 * scale), down - 0.5, 0.9,
+                 0.26, 0.24, 0.05)
+    segs += limb(11, neck + side * (0.10 * scale), down + 0.5, 0.9,
+                 0.26, 0.24, 0.05)
+    segs += limb(15, pelvis - side * (0.07 * scale), down - 0.1, 0.3,
+                 0.30, 0.30, 0.065)
+    # reuse early keys with offsets for the second leg (20-key budget)
+    a1 = down + 0.1 + u(19, -0.3, 0.3)
+    d1 = jnp.stack([jnp.cos(a1), jnp.sin(a1), u(18, -0.25, 0.25)])
+    j1 = pelvis + side * (0.07 * scale) + d1 / jnp.linalg.norm(d1) * (
+        0.30 * scale)
+    j2 = j1 + jnp.stack([jnp.cos(a1 + 0.2), jnp.sin(a1 + 0.2),
+                         u(17, -0.25, 0.25)]) * (0.30 * scale)
+    segs += [(pelvis + side * (0.07 * scale), j1, 0.065 * scale),
+             (j1, j2, 0.065 * scale)]
+
+    a = jnp.stack([s[0] for s in segs])
+    b = jnp.stack([s[1] for s in segs])
+    r = jnp.stack([s[2] for s in segs])
+    return a, b, r
+
+
+def capsule_occupancy(pts, caps, sharpness: float = 200.0):
+    """[..., 3] points x capsules -> soft occupancy in [0, 1]."""
+    a, b, r = caps
+    p = pts[..., None, :] - a                       # [..., K, 3]
+    ab = b - a                                      # [K, 3]
+    denom = jnp.maximum((ab * ab).sum(-1), 1e-9)
+    t = jnp.clip((p * ab).sum(-1) / denom, 0.0, 1.0)
+    d = jnp.linalg.norm(p - t[..., None] * ab[None], axis=-1) - r
+    return jax.nn.sigmoid(-d.min(axis=-1) * sharpness)
+
+
+def render_front(caps, size: int, n_march: int = 48):
+    """Orthographic front render by first-crossing ray march along z.
+
+    Returns (image [S,S,3] normalized to [-1,1] with bg=0 after masking —
+    the netG input contract, RTL/main.py:353-358 — and mask [S,S])."""
+    ax = jnp.linspace(-1.0, 1.0, size)
+    xx, yy = jnp.meshgrid(ax, -ax)                   # row 0 = top (+y)
+    zs = jnp.linspace(1.0, -1.0, n_march)
+
+    def probe(z):
+        pts = jnp.stack([xx, yy, jnp.full_like(xx, z)], -1)
+        return capsule_occupancy(pts, caps) > 0.5    # [S, S]
+
+    occ = jax.vmap(probe)(zs)                        # [M, S, S]
+    hit = occ.any(axis=0)
+    first = jnp.argmax(occ, axis=0)                  # first crossing index
+    depth = zs[first]                                # + = near
+    shade = jnp.where(hit, 0.35 + 0.65 * (depth + 1.0) / 2.0, 0.0)
+    image = (shade[..., None] * jnp.asarray([0.8, 0.65, 0.55]))
+    image = image * 2.0 - 1.0
+    return image * hit[..., None], hit.astype(jnp.float32)
+
+
+def sample_points(key, caps, n: int, sigma: float = 0.05):
+    """Surface+uniform sampling, 50/50 in/out rebalanced in expectation
+    (ppl_dynamic.py:262-298 scheme, without host-side rejection)."""
+    a, b, r = caps
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_surf = (n * 4) // 5
+    seg = jax.random.randint(k1, (n_surf,), 0, a.shape[0])
+    t = jax.random.uniform(k2, (n_surf, 1))
+    on_axis = a[seg] + t * (b[seg] - a[seg])
+    noise = jax.random.normal(k3, (n_surf, 3))
+    # points at the surface +- gaussian sigma (half in, half out)
+    dirs = noise / jnp.maximum(
+        jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-9)
+    radial = jax.random.normal(k4, (n_surf, 1)) * sigma
+    surf = on_axis + dirs * (r[seg][:, None] + radial)
+    unif = jax.random.uniform(jax.random.fold_in(key, 7), (n - n_surf, 3),
+                              minval=-1.0, maxval=1.0)
+    pts = jnp.concatenate([surf, unif], axis=0)
+    labels = (capsule_occupancy(pts, caps) > 0.5).astype(jnp.float32)
+    return pts, labels[:, None]
+
+
+def synth_item(key, size: int, n_points: int):
+    """-> dict(image [S,S,3], points [N,3], labels [N,1], calib [4,4])."""
+    k_skel, k_pts = jax.random.split(key)
+    caps = skeleton3d(k_skel)
+    image, mask = render_front(caps, size)
+    pts, labels = sample_points(k_pts, caps, n_points)
+    return {"image": image, "points": pts, "labels": labels,
+            "calib": jnp.eye(4, dtype=jnp.float32)}
+
+
+def synth_train_batch(key, batch: int, size: int, n_points: int):
+    """Train-step batch dict (images/points/calibs/labels), all on-device."""
+    items = jax.vmap(functools.partial(
+        synth_item, size=size, n_points=n_points))(
+            jax.random.split(key, batch))
+    return {"images": items["image"], "points": items["points"],
+            "calibs": items["calib"], "labels": items["labels"]}

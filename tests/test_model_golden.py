@@ -80,9 +80,7 @@ def test_surface_classifier_golden(ref):
     with torch.no_grad():
         want = tnet(torch.from_numpy(x)).numpy()  # [1, 1, N]
 
-    state = {k.replace("filters.", "filters."): v
-             for k, v in tnet.state_dict().items()}
-    params = convert_head_state(state)
+    params = convert_head_state(tnet.state_dict())
     jnet = PIFuNetGMLP()
     got = jnet.apply({"params": params},
                      jnp.asarray(x.transpose(0, 2, 1)))  # [1, N, 1]
