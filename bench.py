@@ -168,6 +168,11 @@ def bench_real(iters: int = 20):
     cfg = get_cfg_defaults()
     netG = MonoPortNet(cfg.netG)
     params_g = {"params": load_params(ckpt)[0]}
+    ckpt_c = os.path.join(os.path.dirname(ckpt), "netc_capsule.npz")
+    netC, params_c = None, None
+    if os.path.exists(ckpt_c):   # trained color net: full textured path
+        netC = MonoPortNet(cfg.netC)
+        params_c = {"params": load_params(ckpt_c)[0]}
 
     caps = skeleton3d(jax.random.PRNGKey(31337))   # held-out body
     image = render_front(caps, 512)[0][None]
@@ -176,35 +181,38 @@ def bench_real(iters: int = 20):
     recon = HierarchicalRecon(resolutions=(17, 33, 65),
                               budgets=(0, 4096, 16384),
                               select="uncertain")
-    engine = ReconEngine(netG, recon=recon, mode="ray", fine_res=257,
+    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
                          ray_taps=6, ray_window=192,
                          compute_dtype=jnp.bfloat16, use_pallas=True)
 
     @jax.jit
-    def loop(params_g, img):
+    def loop(params_g, params_c, img):
         def body(_, carry):
             img, counts = carry
-            out = engine._frame_impl(params_g, None, img, None, calib)
+            out = engine._frame_impl(params_g, params_c, img,
+                                     img if netC is not None else None,
+                                     calib)
             return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
                     out["recon_counts"])
         n_lv = len(recon.resolutions) - 1
         return jax.lax.fori_loop(0, iters, body,
                                  (img, jnp.zeros((n_lv,), jnp.int32)))
 
-    out, counts = loop(params_g, image)
+    out, counts = loop(params_g, params_c, image)
     _ = np.asarray(out[0, 0, 0, 0])
     t0 = time.perf_counter()
     for i in range(3):
         _ = np.asarray((image.sum() * (i + 1)))
     rtt = (time.perf_counter() - t0) / 3
     t0 = time.perf_counter()
-    out, counts = loop(params_g, image)
+    out, counts = loop(params_g, params_c, image)
     _ = np.asarray(out[0, 0, 0, 0])
     fps = iters / (time.perf_counter() - t0 - rtt)
 
     # quality (one-off, outside timing): ray maps vs the model's own dense
     # 257^3 volume, and the model's silhouette vs the analytic body
-    maps = engine.frame(params_g, image, calib=calib)
+    maps = engine.frame(params_g, image, params_c,
+                        image if netC is not None else None, calib)
     dense = HierarchicalRecon(resolutions=(17, 33, 65, 129, 257),
                               select="uncertain")
     feats = netG.apply(engine._cast(params_g), engine._cast(image),

@@ -117,6 +117,13 @@ def load_networks(cfg):
         netC = MonoPortNet(cfg.netC)
         params_c = load_legacy_pifu(cfg.netC.ckpt_path,
                                     cfg.netC.backbone.IMF)
+    elif cfg.netC.backbone.IMF == "PIFuResBlkFilters":
+        default = os.path.join(os.path.dirname(__file__), os.pardir,
+                               "data", "netc_capsule.npz")
+        if os.path.exists(default):
+            from ..utils.params_io import load_params
+            netC = MonoPortNet(cfg.netC)
+            params_c = {"params": load_params(default)[0]}
     return netG, params_g, netC, params_c
 
 

@@ -1,0 +1,143 @@
+"""Train the color network (netC) on capsule humans, with the committed
+capsule netG frozen as the geometry-feature prior.
+
+Completes the trained in-repo weight set (netG: train_capsule_netG.py;
+matting: train_matting.py): surface points get ground-truth colors from
+the same shading model the render painted into the image, so netC has to
+perform real pixel-aligned color inference. Base colors are jittered per
+body so color comes from the image, not from memorization.
+
+Run (real TPU):
+    python -m monoport_tpu.apps.train_capsule_netC --steps 3000 \
+        --out monoport_tpu/data/netc_capsule.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import get_cfg_defaults
+from ..models import MonoPortNet
+from ..training.datasets.capsule import (render_front,
+                                         sample_surface_points,
+                                         skeleton3d, surface_color)
+from ..utils.params_io import load_params, save_params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--chunk", type=int, default=150)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--points", type=int, default=4096)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--netg", default="monoport_tpu/data/netg_capsule.npz")
+    parser.add_argument("--out", default="monoport_tpu/data/netc_capsule.npz")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = get_cfg_defaults()
+    netG = MonoPortNet(cfg.netG)
+    netC = MonoPortNet(cfg.netC)
+    params_g = {"params": load_params(args.netg)[0]}
+    # clip is load-bearing: the un-normalized ResnetFilter output
+    # (reference parity: last block skips its final norm and use_tanh is
+    # False, ResBlkFilters.py:74-77,146) explodes under plain adam at any
+    # lr >= 1e-3 and saturates the tanh head to exactly-zero gradients
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(
+            args.lr, args.steps, alpha=0.05)))
+
+    def make_item(key):
+        k_skel, k_base, k_pts = jax.random.split(key, 3)
+        caps = skeleton3d(k_skel)
+        base = jnp.asarray([0.8, 0.65, 0.55]) * jax.random.uniform(
+            k_base, (3,), minval=0.7, maxval=1.2)
+        image, _ = render_front(caps, args.size, base_color=base)
+        pts = sample_surface_points(k_pts, caps, args.points)
+        colors = surface_color(pts, base_color=base)
+        return image, pts, colors
+
+    def make_batch(key):
+        image, pts, colors = jax.vmap(make_item)(
+            jax.random.split(key, args.batch))
+        calib = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                         (args.batch, 1, 1))
+        return image, pts, colors, calib
+
+    def feat_prior_fn(image):
+        feats_g = netG.apply(params_g, image, method="filter")
+        return feats_g[-1][-1]                      # [B, 128, 128, 256]
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    image, pts, colors, calib = jax.jit(make_batch)(jax.random.PRNGKey(1))
+    variables = jax.jit(functools.partial(netC.init, train=True))(
+        k_init, image, pts, calib, labels=colors,
+        feat_prior=jnp.zeros((args.batch, 128, 128, 256)))
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch):
+        image, pts, colors, calib, prior = batch
+        _, loss = netC.apply({"params": params}, image, pts, calib,
+                             labels=colors, feat_prior=prior, train=True)
+        return loss
+
+    def step(carry, k):
+        params, opt_state = carry
+        image, pts, colors, calib = make_batch(k)
+        prior = feat_prior_fn(image)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, (image, pts, colors, calib, prior))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def run(state, key, n):
+        return jax.lax.scan(step, state, jax.random.split(key, n))
+
+    state = (params, opt_state)
+    t0 = time.time()
+    done = 0
+    while done < args.steps:
+        n = min(args.chunk, args.steps - done)
+        key, k_run = jax.random.split(key)
+        state, losses = run(state, k_run, n)
+        done += n
+        print(f"step {done}/{args.steps} mean L1 "
+              f"{float(np.asarray(losses.mean())):.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    params = state[0]
+
+    @jax.jit
+    def heldout(params):
+        image, pts, colors, calib = make_batch(
+            jax.random.PRNGKey(args.seed + 777))
+        prior = feat_prior_fn(image)
+        pred = netC.apply({"params": params}, image, pts, calib,
+                          feat_prior=prior)
+        return jnp.abs(pred - colors).mean()
+
+    err = float(np.asarray(heldout(params)))
+    print(f"held-out color L1 (on [-1,1] scale): {err:.4f}", flush=True)
+    save_params(args.out, params)
+    print(f"saved {args.out}", flush=True)
+    return err
+
+
+if __name__ == "__main__":
+    main()

@@ -91,11 +91,21 @@ def capsule_occupancy(pts, caps, sharpness: float = 200.0):
     return jax.nn.sigmoid(-d.min(axis=-1) * sharpness)
 
 
-def render_front(caps, size: int, n_march: int = 48):
+_DEFAULT_BASE = (0.8, 0.65, 0.55)
+
+
+def _shade(z):
+    """Depth-cue shading used by both the render and the color labels."""
+    return 0.35 + 0.65 * (z + 1.0) / 2.0
+
+
+def render_front(caps, size: int, n_march: int = 48, base_color=None):
     """Orthographic front render by first-crossing ray march along z.
 
     Returns (image [S,S,3] normalized to [-1,1] with bg=0 after masking —
     the netG input contract, RTL/main.py:353-358 — and mask [S,S])."""
+    base = jnp.asarray(base_color if base_color is not None
+                       else _DEFAULT_BASE)
     ax = jnp.linspace(-1.0, 1.0, size)
     xx, yy = jnp.meshgrid(ax, -ax)                   # row 0 = top (+y)
     zs = jnp.linspace(1.0, -1.0, n_march)
@@ -108,10 +118,31 @@ def render_front(caps, size: int, n_march: int = 48):
     hit = occ.any(axis=0)
     first = jnp.argmax(occ, axis=0)                  # first crossing index
     depth = zs[first]                                # + = near
-    shade = jnp.where(hit, 0.35 + 0.65 * (depth + 1.0) / 2.0, 0.0)
-    image = (shade[..., None] * jnp.asarray([0.8, 0.65, 0.55]))
-    image = image * 2.0 - 1.0
+    shade = jnp.where(hit, _shade(depth), 0.0)
+    image = (shade[..., None] * base) * 2.0 - 1.0
     return image * hit[..., None], hit.astype(jnp.float32)
+
+
+def surface_color(pts, base_color=None):
+    """Ground-truth surface color at [..., 3] points, normalized [-1, 1]
+    (the same shading model render_front painted into the image — netC's
+    learning target is consistent with its input view)."""
+    base = jnp.asarray(base_color if base_color is not None
+                       else _DEFAULT_BASE)
+    return _shade(pts[..., 2:3]) * base * 2.0 - 1.0
+
+
+def sample_surface_points(key, caps, n: int):
+    """n points ON the capsule surfaces (color supervision sites)."""
+    a, b, r = caps
+    k1, k2, k3 = jax.random.split(key, 3)
+    seg = jax.random.randint(k1, (n,), 0, a.shape[0])
+    t = jax.random.uniform(k2, (n, 1))
+    on_axis = a[seg] + t * (b[seg] - a[seg])
+    noise = jax.random.normal(k3, (n, 3))
+    dirs = noise / jnp.maximum(
+        jnp.linalg.norm(noise, axis=-1, keepdims=True), 1e-9)
+    return on_axis + dirs * r[seg][:, None]
 
 
 def sample_points(key, caps, n: int, sigma: float = 0.05):
