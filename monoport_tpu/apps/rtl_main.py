@@ -88,6 +88,21 @@ def parse_args(argv=None):
     return args, cfg
 
 
+def _arch_matches_default(cfg, net_key: str) -> bool:
+    """True iff cfg.<net_key>'s architecture equals the package default.
+
+    The committed in-repo weights (data/*.npz) were trained with
+    get_cfg_defaults(); loading them under an overridden backbone/head
+    config would raise a flax shape error, so gate on equality of the
+    architecture-defining subtrees.
+    """
+    from ..config import get_cfg_defaults
+    default = get_cfg_defaults()[net_key]
+    net = cfg[net_key]
+    return (dict(net.backbone) == dict(default.backbone)
+            and dict(net.head) == dict(default.head))
+
+
 def load_networks(cfg):
     """Build netG/netC and load checkpoints (RTL/main.py:105-128).
 
@@ -102,10 +117,12 @@ def load_networks(cfg):
         from ..convert import load_legacy_pifu
         params_g = load_legacy_pifu(cfg.netG.ckpt_path,
                                     cfg.netG.backbone.IMF)
-    elif cfg.netG.backbone.IMF == "PIFuHGFilters":
+    elif _arch_matches_default(cfg, "netG"):
         # no checkpoint given: fall back to the committed in-repo netG
         # trained on capsule humans (apps/train_capsule_netG.py) — far
-        # better than random init for the demo
+        # better than random init for the demo. Only when the backbone/
+        # head config equals the defaults the weights were trained with
+        # (a shrunken test config must get random init, not a shape error).
         default = os.path.join(os.path.dirname(__file__), os.pardir,
                                "data", "netg_capsule.npz")
         if os.path.exists(default):
@@ -117,7 +134,9 @@ def load_networks(cfg):
         netC = MonoPortNet(cfg.netC)
         params_c = load_legacy_pifu(cfg.netC.ckpt_path,
                                     cfg.netC.backbone.IMF)
-    elif cfg.netC.backbone.IMF == "PIFuResBlkFilters":
+    elif _arch_matches_default(cfg, "netC") and _arch_matches_default(cfg, "netG"):
+        # netC's MLP consumes netG's feature maps, so its weight shapes
+        # depend on netG's backbone config too.
         default = os.path.join(os.path.dirname(__file__), os.pardir,
                                "data", "netc_capsule.npz")
         if os.path.exists(default):
