@@ -16,7 +16,10 @@ TPU-native rebuild (NHWC): a light encoder-decoder matting network
 ``box`` fallback (the prior box the RTL demo already uses as its detection
 region, RTL/main.py:290) so the full pipeline runs without pretrained
 weights — this environment has no network egress to fetch any. The
-detector's role (human_det) collapses into the alpha->bbox reduction.
+detector (human_det's role) is ``pipeline/detection.py``'s DetectNet,
+trained in-repo; its boxes replace the fixed prior when its checkpoint is
+present, and ``alpha_to_bbox`` still provides the per-frame instance bbox
+output of the segmenter itself.
 """
 
 from __future__ import annotations
@@ -106,12 +109,19 @@ class Segmentation:
       variables: MatteNet params ({'params': ...}); None -> 'box' fallback.
       scaled_boxes: default detection-region prior [1, 4] xyxy
         (RTL/main.py:290 uses [[50, 0, 450, 500]] on 512x512 frames).
+      detector: optional ``Detection`` (pipeline/detection.py); when set
+        and no explicit scaled_boxes are passed per call, the detection
+        region comes from the detector instead of the fixed prior —
+        mirroring the reference, where human_det's boxes feed
+        human_inst_seg (RTL/main.py:345-350).
     """
 
     def __init__(self, variables=None, width: int = 32,
-                 scaled_boxes: Optional[Sequence[float]] = None):
+                 scaled_boxes: Optional[Sequence[float]] = None,
+                 detector=None):
         self.net = MatteNet(width=width) if variables is not None else None
         self.variables = variables
+        self.detector = detector
         self.default_box = jnp.asarray(
             [scaled_boxes or [50.0, 0.0, 450.0, 500.0]], jnp.float32)
         self._call = jax.jit(self._impl)
@@ -126,15 +136,20 @@ class Segmentation:
         downloaded and just load' contract (README.md:59-60)."""
         import os
 
+        from .detection import Detection
+
+        detector = Detection.load_default()
         if ckpt_path is None:
             ckpt_path = os.path.join(os.path.dirname(__file__), os.pardir,
                                      "data", "mattenet.npz")
         if not os.path.exists(ckpt_path):
-            return cls(variables=None, scaled_boxes=scaled_boxes)
+            return cls(variables=None, scaled_boxes=scaled_boxes,
+                       detector=detector)
         from ..training.matting import load_params
 
         params, width = load_params(ckpt_path)
-        return cls(variables=params, width=width, scaled_boxes=scaled_boxes)
+        return cls(variables=params, width=width, scaled_boxes=scaled_boxes,
+                   detector=detector)
 
     def _impl(self, images: jax.Array, boxes: jax.Array):
         b, h, w, _ = images.shape
@@ -152,8 +167,13 @@ class Segmentation:
     def __call__(self, images: jax.Array, scaled_boxes=None):
         """images: [B, H, W, 3] RGB in [0, 1] -> (segm [B, H, W, 4],
         bboxes [B, 4], probs [B])."""
-        boxes = (jnp.asarray(scaled_boxes, jnp.float32)
-                 if scaled_boxes is not None else self.default_box)
+        if scaled_boxes is not None:
+            boxes = jnp.asarray(scaled_boxes, jnp.float32)
+        elif self.detector is not None:
+            boxes = self.detector.person_box(
+                images, fallback=self.default_box[0])
+        else:
+            boxes = self.default_box
         if boxes.ndim == 1:
             boxes = boxes[None]
         boxes = jnp.broadcast_to(boxes, (images.shape[0], 4))
