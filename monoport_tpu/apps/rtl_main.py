@@ -287,11 +287,20 @@ class MJPEGHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/":
+            # landing page with the embedded stream (the reference serves
+            # RTL/templates/test_flask.html at '/', RTL/main.py:604-606)
+            import os
+            page = os.path.join(os.path.dirname(__file__), "templates",
+                                "index.html")
+            try:
+                with open(page, "rb") as f:
+                    body = f.read()
+            except OSError:
+                body = b"<html><body><img src='/video_feed'/></body></html>"
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
-            self.wfile.write(
-                b"<html><body><img src='/video_feed'/></body></html>")
+            self.wfile.write(body)
             return
         if self.path != "/video_feed":
             self.send_error(404)
