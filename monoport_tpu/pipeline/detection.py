@@ -61,7 +61,12 @@ def gaussian_heatmap(cx, cy, w, h, valid, g: int):
     """Splat per-instance Gaussians -> [B,G,G] target heatmap.
 
     cx/cy/w/h [B,K] in grid units; sigma follows the CenterNet
-    radius-from-box heuristic (~1/6 of the smaller box side)."""
+    radius-from-box heuristic (~1/6 of the smaller box side). The cell
+    CONTAINING each center is snapped to exactly 1.0: cell sample points
+    sit at half-integers, so the continuous Gaussian alone never reaches
+    1 and the focal loss's positive set (gt == 1) would be empty — the
+    detector then collapses to predicting nothing (observed: first
+    training run, held-out IOU 0.0)."""
     ys = jnp.arange(g, dtype=jnp.float32) + 0.5
     xs = jnp.arange(g, dtype=jnp.float32) + 0.5
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")          # [G,G]
@@ -69,6 +74,12 @@ def gaussian_heatmap(cx, cy, w, h, valid, g: int):
     d2 = ((gx[None, None] - cx[..., None, None]) ** 2
           + (gy[None, None] - cy[..., None, None]) ** 2)  # [B,K,G,G]
     heat = jnp.exp(-d2 / (2.0 * sigma[..., None, None] ** 2))
+    ii = jnp.arange(g, dtype=jnp.float32)
+    in_x = (jnp.floor(jnp.clip(cx, 0, g - 1))[..., None, None]
+            == ii[None, None, None, :])                   # [B,K,1,G]
+    in_y = (jnp.floor(jnp.clip(cy, 0, g - 1))[..., None, None]
+            == ii[None, None, :, None])                   # [B,K,G,1]
+    heat = jnp.maximum(heat, (in_x & in_y).astype(heat.dtype))
     heat = heat * valid[..., None, None].astype(heat.dtype)
     return heat.max(axis=1)                               # [B,G,G]
 
