@@ -30,6 +30,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the tunneled remote-compile relay costs
+# 3-10 min per big program (DESIGN.md); warming this cache once makes
+# subsequent bench runs start in seconds IF the backend's executables
+# serialize (harmless no-op otherwise).
+try:
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 # experiment knobs (official bench = defaults):
 #   BENCH_RAY_QUERY=0     disable the ray-structured fused kernel (A/B)
 #   BENCH_BF16_FEATS=1    skip the f32-feature-map workaround (engine.
@@ -141,7 +153,11 @@ def build_frame():
     return frame_impl, params_g, params_c, image, calib, engine
 
 
-def bench_real(iters: int = 20):
+def bench_real(iters: int = 60):
+    # 60 on-device frames (~2s): the tunnel's fetch RTT (~0.5-1s, run-to-
+    # run noisy) is subtracted from the measured wall time, so short loops
+    # let RTT variance swing the FPS estimate by 10s of percent (observed
+    # 28 vs 48 fps at iters=20); a longer chain amortizes it.
     """Real-model bench: the TRAINED capsule netG (committed weights, see
     apps/train_capsule_netG.py) on a rendered synthetic person, no
     analytic swap anywhere — the code path users run. Reports FPS plus
@@ -256,7 +272,7 @@ def bench_real(iters: int = 20):
 
 def main():
     frame_impl, params_g, params_c, image, calib, engine = build_frame()
-    iters = 30
+    iters = 60  # long on-device chain: amortizes the noisy fetch RTT
     n_levels = len(engine.recon.resolutions) - 1
 
     @jax.jit

@@ -40,6 +40,8 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--init_from", default=None,
+                        help="npz checkpoint to continue training from")
     parser.add_argument("--out", default="monoport_tpu/data/netg_capsule.npz")
     args = parser.parse_args(argv)
     if args.cpu:
@@ -61,6 +63,13 @@ def main(argv=None):
         k_init, ex["images"], ex["points"], ex["calibs"],
         labels=ex["labels"])
     params = variables["params"]
+    if args.init_from:
+        from ..utils.params_io import load_params
+        loaded = load_params(args.init_from)[0]
+        # structural check: continuing training requires the same arch
+        jax.tree.map(lambda a, b: None, params, loaded)
+        params = loaded
+        print(f"continuing from {args.init_from}", flush=True)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"netG params: {n_params/1e6:.2f}M", flush=True)
     opt_state = tx.init(params)
