@@ -70,6 +70,28 @@ def test_loss_decreases():
     assert float(l1) < float(l0)
 
 
+def test_segmentation_uses_detector_boxes():
+    """Segmentation with a detector and no explicit scaled_boxes derives
+    the detection region from the detector (RTL/main.py:345-350 flow),
+    not the fixed prior."""
+    from monoport_tpu.pipeline.segmentation import Segmentation
+
+    class StubDet:
+        def person_box(self, images, fallback=None):
+            return jnp.tile(jnp.asarray([[10.0, 20.0, 100.0, 200.0]]),
+                            (images.shape[0], 1))
+
+    seg = Segmentation(variables=None, detector=StubDet())
+    imgs = jnp.full((1, 256, 256, 3), 0.5)
+    segm, bbox, probs = seg(imgs)
+    alpha = np.asarray(segm[0, ..., 3])
+    assert alpha[100, 50] == 1.0 and alpha[100, 150] == 0.0
+    np.testing.assert_allclose(np.asarray(bbox[0]), [10, 20, 100, 200])
+    # explicit scaled_boxes still wins over the detector
+    segm2, bbox2, _ = seg(imgs, scaled_boxes=[0.0, 0.0, 255.0, 255.0])
+    assert float(np.asarray(segm2[0, ..., 3]).mean()) > 0.9
+
+
 @pytest.fixture(scope="module")
 def det():
     d = Detection.load_default()
