@@ -333,6 +333,11 @@ _HOTKEYS = {"q": ("desktop_mode", "SEGM"), "w": ("desktop_mode", "NORM"),
 # hotkey 'g' (shift_floor) is handled in _desktop_window via the scene
 
 
+def _enable_compile_cache():
+    from ..utils.compile_cache import enable
+    enable()  # remote-compile relay: reuse compiled frame programs
+
+
 def main_loop(args, cfg, state: FrameState):
     pipeline = build_pipeline(args, cfg, state)
     n, last = 0, None
@@ -382,6 +387,7 @@ def _desktop_window(d, state: FrameState):  # pragma: no cover - UI path
 
 def main(argv=None):
     args, cfg = parse_args(argv)
+    _enable_compile_cache()
     state = FrameState()
     if args.use_server:
         MJPEGHandler.state = state

@@ -44,6 +44,8 @@ def main(argv=None):
     parser.add_argument("--netg", default="monoport_tpu/data/netg_capsule.npz")
     parser.add_argument("--out", default="monoport_tpu/data/netc_capsule.npz")
     args = parser.parse_args(argv)
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()  # remote-compile relay: reuse compiled programs
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

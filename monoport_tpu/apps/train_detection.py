@@ -67,6 +67,8 @@ def main(argv=None):
     parser.add_argument("--out", default="monoport_tpu/data/detectnet.npz")
     args = parser.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()  # remote-compile relay: reuse compiled programs
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

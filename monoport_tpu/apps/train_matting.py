@@ -39,6 +39,8 @@ def main(argv=None):
     parser.add_argument("--out", default="monoport_tpu/data/mattenet.npz")
     args = parser.parse_args(argv)
 
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()  # remote-compile relay: reuse compiled programs
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
