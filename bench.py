@@ -32,15 +32,11 @@ import jax.numpy as jnp
 
 # Persistent compilation cache: the tunneled remote-compile relay costs
 # 3-10 min per big program (DESIGN.md); warming this cache once makes
-# subsequent bench runs start in seconds IF the backend's executables
-# serialize (harmless no-op otherwise).
-try:
-    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+# subsequent bench runs start in seconds (verified to serialize the full
+# fused frame program on this backend).
+from monoport_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
 
 # experiment knobs (official bench = defaults):
 #   BENCH_RAY_QUERY=0     disable the ray-structured fused kernel (A/B)

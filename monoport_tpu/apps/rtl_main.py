@@ -92,15 +92,18 @@ def _arch_matches_default(cfg, net_key: str) -> bool:
     """True iff cfg.<net_key>'s architecture equals the package default.
 
     The committed in-repo weights (data/*.npz) were trained with
-    get_cfg_defaults(); loading them under an overridden backbone/head
-    config would raise a flax shape error, so gate on equality of the
-    architecture-defining subtrees.
+    get_cfg_defaults(); loading them under an overridden backbone/head/
+    normalizer/projection config would raise a flax shape error (the
+    normalizer's soft-onehot width feeds the head input dim), so gate on
+    equality of every architecture-defining subtree.
     """
     from ..config import get_cfg_defaults
     default = get_cfg_defaults()[net_key]
     net = cfg[net_key]
     return (dict(net.backbone) == dict(default.backbone)
-            and dict(net.head) == dict(default.head))
+            and dict(net.head) == dict(default.head)
+            and dict(net.normalizer) == dict(default.normalizer)
+            and net.projection == default.projection)
 
 
 def load_networks(cfg):
@@ -111,35 +114,56 @@ def load_networks(cfg):
     """
     import os
 
+    import logging
+
+    log = logging.getLogger("monoport_tpu.rtl")
     netG = MonoPortNet(cfg.netG)
-    params_g = None
+    params_g, g_from_capsule = None, False
     if cfg.netG.ckpt_path and os.path.exists(cfg.netG.ckpt_path):
         from ..convert import load_legacy_pifu
         params_g = load_legacy_pifu(cfg.netG.ckpt_path,
                                     cfg.netG.backbone.IMF)
     elif _arch_matches_default(cfg, "netG"):
-        # no checkpoint given: fall back to the committed in-repo netG
-        # trained on capsule humans (apps/train_capsule_netG.py) — far
-        # better than random init for the demo. Only when the backbone/
-        # head config equals the defaults the weights were trained with
-        # (a shrunken test config must get random init, not a shape error).
+        # no (reachable) checkpoint: fall back to the committed in-repo
+        # netG trained on capsule humans (apps/train_capsule_netG.py) —
+        # far better than random init for the demo. Only when the
+        # architecture config equals the defaults the weights were trained
+        # with (a shrunken test config must get random init, not a shape
+        # error).
         default = os.path.join(os.path.dirname(__file__), os.pardir,
                                "data", "netg_capsule.npz")
         if os.path.exists(default):
+            if cfg.netG.ckpt_path:
+                # explicit path that does not exist: substitute LOUDLY —
+                # a silent swap would let a typo'd path masquerade as the
+                # user's own checkpoint (reference asserts instead,
+                # RTL/main.py:107; here the zero-egress default profile
+                # intentionally works without downloads)
+                log.warning("netG.ckpt_path %r not found; using the "
+                            "committed capsule demo weights instead",
+                            cfg.netG.ckpt_path)
             from ..utils.params_io import load_params
             params_g = {"params": load_params(default)[0]}
+            g_from_capsule = True
     netC, params_c = None, None
     if cfg.netC.ckpt_path and os.path.exists(cfg.netC.ckpt_path):
         from ..convert import load_legacy_pifu
         netC = MonoPortNet(cfg.netC)
         params_c = load_legacy_pifu(cfg.netC.ckpt_path,
                                     cfg.netC.backbone.IMF)
-    elif _arch_matches_default(cfg, "netC") and _arch_matches_default(cfg, "netG"):
-        # netC's MLP consumes netG's feature maps, so its weight shapes
-        # depend on netG's backbone config too.
+    elif g_from_capsule and _arch_matches_default(cfg, "netC"):
+        # The committed netC was trained against the committed capsule
+        # netG's feature distribution (train_capsule_netC.py freezes that
+        # netG as the prior), so it only auto-loads when netG ALSO came
+        # from the capsule weights — pairing it with a user's legacy PIFu
+        # netG would silently produce garbage textures.
         default = os.path.join(os.path.dirname(__file__), os.pardir,
                                "data", "netc_capsule.npz")
         if os.path.exists(default):
+            if cfg.netC.ckpt_path:
+                log.warning("netC.ckpt_path %r not found; using the "
+                            "committed capsule demo weights instead",
+                            cfg.netC.ckpt_path)
             from ..utils.params_io import load_params
             netC = MonoPortNet(cfg.netC)
             params_c = {"params": load_params(default)[0]}

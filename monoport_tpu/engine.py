@@ -45,11 +45,12 @@ class ReconEngine:
         refinement (recon/ray_refine.py) — the real-time path.
         use_pallas: run the surface MLPs with the fused VMEM-resident
         Pallas kernels (ops/pallas/).
-        use_ray_query: ray-structured fine pass (one gather + shared skip
-        x-projections per ray, ops/pallas/fused_ray_mlp.py). Requires the
-        flagship front-orthographic calibration (pifu_calib: no z term in
-        the image-plane rows, RTL/recon.py:13-21) — set False for
-        arbitrary rotating calibs.
+        use_ray_query: ALLOW the ray-structured fine pass (one gather +
+        shared skip x-projections per ray, ops/pallas/fused_ray_mlp.py).
+        It is only valid for calibrations with z-free image-plane rows
+        (frontal pifu_calib, RTL/recon.py:13-21); frame()/frames() check
+        the concrete calib per call and fall back to the exact per-point
+        fine pass for rotated view cameras. False disables it outright.
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -73,10 +74,25 @@ class ReconEngine:
         self.pallas_interpret = pallas_interpret
         self.use_ray_query = use_ray_query
         self.mesh = mesh
-        self._frame = jax.jit(self._frame_impl)
-        # two vmapped variants at most: with / without a texture stream
+        # use_taps is static: frame() picks the variant per call from the
+        # CONCRETE calib (the ray-structured fast path is only valid when
+        # the image-plane rows have no z term; a rotating demo camera must
+        # fall back to the exact per-point fine pass)
+        self._frame = jax.jit(self._frame_impl,
+                              static_argnames=("use_taps",))
+        # vmapped variants: keyed on (texture stream?, taps ok?)
         # (in_axes differ; retraces for new shapes are jax.jit's job)
-        self._frames_jit: dict[bool, Any] = {}
+        self._frames_jit: dict[tuple, Any] = {}
+
+    def _calib_taps_ok(self, calibs) -> bool:
+        """True iff every (concrete) calib has z-free image-plane rows —
+        the validity condition of query_taps (monoport_net.py:110-112).
+        Host-side check on the host-built calib; never call under trace."""
+        if not self.use_ray_query:
+            return False
+        import numpy as np
+        c = np.asarray(calibs)
+        return bool(np.abs(c[..., :2, 2]).max() < 1e-6)
 
     def _shard_points(self, x: jax.Array, axis: int = 1) -> jax.Array:
         """Constrain a point/ray batch to the mesh's 'points' axis."""
@@ -110,8 +126,7 @@ class ReconEngine:
         from .ops.pallas.fused_mlp import apply_packed, pack_mlp_params
 
         chans, last_op = HEAD_SPECS[CN(net.opt_net).head.IMF]
-        dtype = (self.compute_dtype if self.compute_dtype != jnp.float32
-                 else jnp.float32)
+        dtype = self.compute_dtype
         packed = pack_mlp_params(params["params"]["surface_classifier"],
                                  chans, dtype)
         return functools.partial(apply_packed, packed, last_op=last_op,
@@ -134,8 +149,7 @@ class ReconEngine:
                 opt.normalizer.get("soft_onehot", False):
             return None
         last_op = HEAD_SPECS[opt.head.IMF][1]
-        dtype = (self.compute_dtype if self.compute_dtype != jnp.float32
-                 else jnp.float32)
+        dtype = self.compute_dtype
         # channels inferred from the params: small-backbone configs have a
         # narrower head input than the PIFu factory spec (flax Dense infers)
         packed = pack_ray_mlp_params(params["params"]["surface_classifier"],
@@ -164,7 +178,8 @@ class ReconEngine:
             if hasattr(t, "dtype") and t.dtype == jnp.float32 else t, tree)
 
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
-                    image_c: Optional[jax.Array], calib: jax.Array):
+                    image_c: Optional[jax.Array], calib: jax.Array,
+                    use_taps: bool = True):
         params_g = self._cast(params_g)
         params_c = self._cast(params_c)
         image_g = self._cast(image_g)
@@ -189,8 +204,9 @@ class ReconEngine:
                               b_max=self.recon.b_max,
                               direction=self.direction,
                               window=self.ray_window,
-                              query_taps_fn=self._query_taps_fn(
-                                  self.netG, params_g, feats_g, calib))
+                              query_taps_fn=(self._query_taps_fn(
+                                  self.netG, params_g, feats_g, calib)
+                                  if use_taps else None))
         else:
             resolution = self.recon.resolutions[-1]
             maps = depth_peel(vol, self.direction,
@@ -250,10 +266,16 @@ class ReconEngine:
     def frame(self, params_g: Any, image_g: jax.Array,
               params_c: Any = None, image_c: Optional[jax.Array] = None,
               calib: Optional[jax.Array] = None):
-        """Run one frame. images are NHWC [1, H, W, 3]; calib [1, 4, 4]."""
+        """Run one frame. images are NHWC [1, H, W, 3]; calib [1, 4, 4].
+
+        The ray-structured fast path is selected per call from the calib:
+        z-free image-plane rows (frontal pifu_calib) use it; a rotated
+        view camera falls back to the exact per-point fine pass (one extra
+        compile the first time each variant is hit)."""
         if calib is None:
             calib = jnp.eye(4, dtype=jnp.float32)[None]
-        return self._frame(params_g, params_c, image_g, image_c, calib)
+        return self._frame(params_g, params_c, image_g, image_c, calib,
+                           use_taps=self._calib_taps_ok(calib))
 
     def frames(self, params_g: Any, images_g: jax.Array,
                params_c: Any = None, images_c: Optional[jax.Array] = None,
@@ -269,9 +291,12 @@ class ReconEngine:
         images_c = None if images_c is None else images_c[:, None]
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
         no_tex = images_c is None
-        if no_tex not in self._frames_jit:
-            fn = jax.vmap(self._frame_impl,
-                          in_axes=(None, None, 0, None if no_tex else 0, 0))
-            self._frames_jit[no_tex] = jax.jit(fn)
-        return self._frames_jit[no_tex](params_g, params_c, images_g,
-                                        images_c, calibs)
+        use_taps = self._calib_taps_ok(calibs)  # all-or-nothing per clip
+        key = (no_tex, use_taps)
+        if key not in self._frames_jit:
+            fn = jax.vmap(
+                functools.partial(self._frame_impl, use_taps=use_taps),
+                in_axes=(None, None, 0, None if no_tex else 0, 0))
+            self._frames_jit[key] = jax.jit(fn)
+        return self._frames_jit[key](params_g, params_c, images_g,
+                                     images_c, calibs)

@@ -204,25 +204,16 @@ def alpha_iou(pred: jax.Array, gt: jax.Array, thresh: float = 0.5):
 # ---------------------------------------------------------------------------
 
 def save_params(path: str, params, width: int) -> None:
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    arrays = {"__width__": np.asarray(width, np.int32)}
-    for kpath, leaf in flat:
-        name = "/".join(p.key for p in kpath)
-        arrays[name] = np.asarray(leaf, np.float16)  # 2 bytes/param on disk
-    np.savez_compressed(path, **arrays)
+    """Thin wrapper over utils/params_io (same on-disk format: flat f16
+    npz with '__width__' as int metadata)."""
+    from ..utils.params_io import save_params as _save
+
+    _save(path, params, meta={"width": width})
 
 
 def load_params(path: str):
     """-> (params pytree (f32), width) from save_params output."""
-    data = np.load(path)
-    width = int(data["__width__"])
-    params: dict = {}
-    for name in data.files:
-        if name == "__width__":
-            continue
-        node = params
-        parts = name.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(data[name], jnp.float32)
-    return params, width
+    from ..utils.params_io import load_params as _load
+
+    params, meta = _load(path)
+    return params, meta["width"]

@@ -60,6 +60,35 @@ def test_engine_dense_and_ray_modes(setup):
     assert out_r["render_norm"].shape == (64, 64, 3)
 
 
+def test_engine_ray_query_gated_on_calib(setup):
+    """The ray-structured fast path is only valid for calibs with z-free
+    image-plane rows (monoport_net.query_taps docstring); a rotated view
+    calib (the demo's orbit camera) must select the exact per-point fine
+    pass. Checks the gate directly AND that the rotated-calib output is
+    bitwise identical to an engine with the fast path disabled."""
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.render.camera import orbit_extrinsic
+
+    netG, netC, params_g, params_c, image, calib = setup
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    eng = ReconEngine(netG, None, recon=recon, render_size=32,
+                      mode="ray", fine_res=33, ray_taps=4)
+    assert eng._calib_taps_ok(calib)  # identity: fast path allowed
+
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 15.0),
+                                 np.eye(4, dtype=np.float32)))  # [1,4,4]
+    assert float(jnp.abs(rot[0, :2, 2]).max()) > 1e-4  # genuinely rotated
+    assert not eng._calib_taps_ok(rot)
+
+    out = eng.frame(params_g, image, calib=rot)
+    ref = ReconEngine(netG, None, recon=recon, render_size=32,
+                      mode="ray", fine_res=33, ray_taps=4,
+                      use_ray_query=False)
+    want = ref.frame(params_g, image, calib=rot)
+    np.testing.assert_array_equal(np.asarray(out["depth"]),
+                                  np.asarray(want["depth"]))
+
+
 def test_engine_pallas_head_equivalence(setup):
     netG, _, params_g, _, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
