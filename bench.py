@@ -15,12 +15,16 @@ jnp.where — identical FLOPs and memory traffic, representative sparsity.
 
 Timing: the tunneled axon backend neither blocks on block_until_ready nor
 dispatches un-jitted ops cheaply, so K frames run on-device inside one
-lax.fori_loop chained by a data dependency; one scalar fetch materializes
-the chain and the measured fetch RTT is subtracted.
+lax.fori_loop chained by a data dependency, materialized by one scalar
+fetch. The reported rate is the MARGINAL rate between a K-frame and a
+2K-frame invocation (medians of 5 reps each), which cancels every fixed
+per-invocation cost — fetch RTT, dispatch, relay overhead — by
+construction (see measure_fps).
 
 Prints ONE JSON line; vs_baseline = FPS / 30 (the north-star target).
 """
 
+import functools
 import json
 import os
 import time
@@ -45,6 +49,35 @@ _enable_cache()
 #                         6x-smaller gather batch of the ray path
 _RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
 _BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
+
+
+def measure_fps(run_loop_n, iters: int, reps: int = 5):
+    """-> (marginal FPS, single-loop median FPS) for a compiled loop
+    family ``run_loop_n(n)`` (n on-device frames per invocation).
+
+    Every host<->device interaction on this rig is an eagerly dispatched
+    op + a tunneled fetch (~0.3-1s, run-to-run noisy), and each program
+    invocation carries an unknown fixed relay cost — subtracting a probed
+    "RTT" left tens-of-percent swings (observed 28-38 fps for the
+    bit-identical program across one session). The marginal rate
+    ``iters / (median T(2N) - median T(N))`` cancels EVERY fixed
+    per-invocation cost by construction (both invocations pay it once);
+    only the extra N frames differ. The single-loop median (no
+    subtraction at all) is reported alongside as a conservative
+    lower bound including all tunnel overhead.
+    """
+    t_n, t_2n = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_loop_n(iters)
+        t_n.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_loop_n(2 * iters)
+        t_2n.append(time.perf_counter() - t0)
+    dt = float(np.median(t_2n)) - float(np.median(t_n))
+    marginal = iters / max(dt, 1e-6)
+    lower = iters / float(np.median(t_n))
+    return marginal, lower
 
 
 def build_frame():
@@ -197,8 +230,8 @@ def bench_real(iters: int = 60):
                          ray_taps=6, ray_window=192,
                          compute_dtype=jnp.bfloat16, use_pallas=True)
 
-    @jax.jit
-    def loop(params_g, params_c, img):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params_g, params_c, img, n):
         def body(_, carry):
             img, counts = carry
             out = engine._frame_impl(params_g, params_c, img,
@@ -207,19 +240,18 @@ def bench_real(iters: int = 60):
             return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
                     out["recon_counts"])
         n_lv = len(recon.resolutions) - 1
-        return jax.lax.fori_loop(0, iters, body,
+        return jax.lax.fori_loop(0, n, body,
                                  (img, jnp.zeros((n_lv,), jnp.int32)))
 
-    out, counts = loop(params_g, params_c, image)
-    _ = np.asarray(out[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    for i in range(3):
-        _ = np.asarray((image.sum() * (i + 1)))
-    rtt = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    out, counts = loop(params_g, params_c, image)
-    _ = np.asarray(out[0, 0, 0, 0])
-    fps = iters / (time.perf_counter() - t0 - rtt)
+    for n in (iters, 2 * iters):                     # compile both lengths
+        out, counts = loop(params_g, params_c, image, n)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    def run_loop_n(n):
+        out, _ = loop(params_g, params_c, image, n)
+        _ = np.asarray(out[0, 0, 0, 0])
+
+    fps, fps_lower = measure_fps(run_loop_n, iters)
 
     # quality (one-off, outside timing): ray maps vs the model's own dense
     # 257^3 volume, and the model's silhouette vs the analytic body
@@ -259,6 +291,7 @@ def bench_real(iters: int = 60):
 
     return {
         "real_fps": round(fps, 2),
+        "real_fps_incl_tunnel_overhead": round(fps_lower, 2),
         "real_ray_vs_dense_iou": round(iou_path, 4),
         "real_depth_err_med_voxels": round(float(np.median(err)), 3),
         "real_model_vs_gt_iou": round(iou_gt, 4),
@@ -271,8 +304,8 @@ def main():
     iters = 60  # long on-device chain: amortizes the noisy fetch RTT
     n_levels = len(engine.recon.resolutions) - 1
 
-    @jax.jit
-    def bench_loop(params_g, params_c, img):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def bench_loop(params_g, params_c, img, n):
         # params enter as jit arguments (NOT closure constants: embedding
         # ~60MB of weights as IR literals blows up compile time and can
         # crash the TPU backend's register allocator)
@@ -282,21 +315,17 @@ def main():
             return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
                     out["recon_counts"])
         return jax.lax.fori_loop(
-            0, iters, body, (img, jnp.zeros((n_levels,), jnp.int32)))
+            0, n, body, (img, jnp.zeros((n_levels,), jnp.int32)))
 
-    out, counts = bench_loop(params_g, params_c, image)   # compile + run
-    _ = np.asarray(out[0, 0, 0, 0])
+    for n in (iters, 2 * iters):                     # compile both lengths
+        out, counts = bench_loop(params_g, params_c, image, n)
+        _ = np.asarray(out[0, 0, 0, 0])
 
-    t0 = time.perf_counter()
-    for i in range(3):
-        _ = np.asarray((image.sum() * (i + 1)))
-    rtt = (time.perf_counter() - t0) / 3
+    def run_loop_n(n):
+        out, _ = bench_loop(params_g, params_c, image, n)
+        _ = np.asarray(out[0, 0, 0, 0])
 
-    t0 = time.perf_counter()
-    out, counts = bench_loop(params_g, params_c, image)
-    _ = np.asarray(out[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0 - rtt) / iters
-    fps = 1.0 / dt
+    fps, fps_lower = measure_fps(run_loop_n, iters)
 
     counts = np.asarray(counts).tolist()         # after timing: tiny fetch
     budgets = list(engine.recon.budgets[1:])
@@ -307,6 +336,7 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "fps_incl_tunnel_overhead": round(fps_lower, 2),
         "recon_band_counts": counts,
         "recon_band_budgets": budgets,
         "recon_band_overflow": any(c > b for c, b in zip(counts, budgets)),
