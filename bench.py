@@ -47,8 +47,14 @@ _enable_cache()
 #   BENCH_BF16_FEATS=1    skip the f32-feature-map workaround (engine.
 #                         _feats_f32) — probes the TPU backend bug with the
 #                         6x-smaller gather batch of the ray path
+#   BENCH_RAY_TAPS / BENCH_RAY_WINDOW   operating-point sweep (defaults
+#                         = the shipped profile; quality for candidate
+#                         points is measured by the CPU sweep in
+#                         tests/test_recon_quality.py / DESIGN.md)
 _RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
 _BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
+_RAY_TAPS = int(os.environ.get("BENCH_RAY_TAPS", "6"))
+_RAY_WINDOW = int(os.environ.get("BENCH_RAY_WINDOW", "192"))
 
 
 def measure_fps(run_loop_n, iters: int, reps: int = 5):
@@ -114,7 +120,7 @@ def build_frame():
     # fine rays restricted to a 192^2 bbox window (75% of the frame —
     # matches the reference's own detection-region prior, RTL/main.py:290)
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=6, ray_window=192,
+                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
                          compute_dtype=jnp.bfloat16, use_pallas=True,
                          use_ray_query=_RAY_QUERY)
     if _BF16_FEATS:
