@@ -81,9 +81,13 @@ def measure_fps(run_loop_n, iters: int, reps: int = 5):
         run_loop_n(2 * iters)
         t_2n.append(time.perf_counter() - t0)
     dt = float(np.median(t_2n)) - float(np.median(t_n))
-    marginal = iters / max(dt, 1e-6)
     lower = iters / float(np.median(t_n))
-    return marginal, lower
+    if dt <= 0.05 * float(np.median(t_n)):
+        # tunnel-noise inversion (T(2N) barely above T(N)): a marginal
+        # estimate here would be absurdly fast — report the conservative
+        # single-loop rate instead of a number nobody should trust
+        return lower, lower
+    return iters / dt, lower
 
 
 def build_frame():
@@ -233,7 +237,7 @@ def bench_real(iters: int = 60):
                               budgets=(0, 4096, 16384),
                               select="uncertain")
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=6, ray_window=192,
+                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
                          compute_dtype=jnp.bfloat16, use_pallas=True)
 
     @functools.partial(jax.jit, static_argnames=("n",))

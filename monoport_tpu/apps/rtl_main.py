@@ -117,6 +117,12 @@ def load_networks(cfg):
     import logging
 
     log = logging.getLogger("monoport_tpu.rtl")
+    # a set-but-missing path warns up front, whatever branch follows — a
+    # typo'd checkpoint must never silently masquerade as something else
+    for net_key in ("netG", "netC"):
+        path = cfg[net_key].ckpt_path
+        if path and not os.path.exists(path):
+            log.warning("%s.ckpt_path %r not found on disk", net_key, path)
     netG = MonoPortNet(cfg.netG)
     params_g, g_from_capsule = None, False
     if cfg.netG.ckpt_path and os.path.exists(cfg.netG.ckpt_path):
@@ -134,14 +140,11 @@ def load_networks(cfg):
                                "data", "netg_capsule.npz")
         if os.path.exists(default):
             if cfg.netG.ckpt_path:
-                # explicit path that does not exist: substitute LOUDLY —
-                # a silent swap would let a typo'd path masquerade as the
-                # user's own checkpoint (reference asserts instead,
-                # RTL/main.py:107; here the zero-egress default profile
-                # intentionally works without downloads)
-                log.warning("netG.ckpt_path %r not found; using the "
-                            "committed capsule demo weights instead",
-                            cfg.netG.ckpt_path)
+                # (reference asserts on a missing path, RTL/main.py:107;
+                # here the zero-egress default profile intentionally
+                # works without downloads — but says what it substitutes)
+                log.warning("using the committed capsule netG demo "
+                            "weights instead of %r", cfg.netG.ckpt_path)
             from ..utils.params_io import load_params
             params_g = {"params": load_params(default)[0]}
             g_from_capsule = True
@@ -161,9 +164,8 @@ def load_networks(cfg):
                                "data", "netc_capsule.npz")
         if os.path.exists(default):
             if cfg.netC.ckpt_path:
-                log.warning("netC.ckpt_path %r not found; using the "
-                            "committed capsule demo weights instead",
-                            cfg.netC.ckpt_path)
+                log.warning("using the committed capsule netC demo "
+                            "weights instead of %r", cfg.netC.ckpt_path)
             from ..utils.params_io import load_params
             netC = MonoPortNet(cfg.netC)
             params_c = {"params": load_params(default)[0]}
@@ -235,7 +237,11 @@ def build_pipeline(args, cfg, state: FrameState):
         else:
             extrinsic, intrinsic = scene.update_camera(
                 load=(state.view_mode == "LOAD"))
-        calib = jnp.asarray(pifu_calib(extrinsic, intrinsic))
+        # keep calib on the HOST (numpy): engine.frame reads it to pick
+        # the fast-path variant (_calib_taps_ok) — a device-resident calib
+        # would cost a tunneled fetch per frame; as a jit argument numpy
+        # is device-put for free with the rest of the batch
+        calib = pifu_calib(extrinsic, intrinsic)
         rgb = segm[..., :3]
         alpha = segm[..., 3:4]
         input_g = (((rgb * 0.5 + 0.5) - mean) / std) * alpha

@@ -17,12 +17,26 @@ import os
 
 import jax
 
-DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+def _default_dir() -> str:
+    """Repo-checkout .jax_cache when the package's parent is writable
+    (the development/bench layout); otherwise a user cache dir — a pip
+    site-packages install must not try to write next to the interpreter
+    (it would silently never persist)."""
+    repo_parent = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    candidate = os.path.join(repo_parent, ".jax_cache")
+    if os.path.isdir(candidate) or os.access(repo_parent, os.W_OK):
+        return candidate
+    return os.path.join(os.path.expanduser("~"), ".cache", "monoport_tpu",
+                        "jax_cache")
+
+
+DEFAULT_DIR = _default_dir()
 
 
 def enable(cache_dir: str | None = None) -> None:
-    """Turn on the persistent compilation cache (best-effort)."""
+    """Turn on the persistent compilation cache (best-effort). Priority:
+    explicit arg > $JAX_COMPILATION_CACHE_DIR > DEFAULT_DIR."""
     try:
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or os.environ.get(
