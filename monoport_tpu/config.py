@@ -165,6 +165,10 @@ def get_cfg_defaults() -> CfgNode:
     c.dataset.align_hip = False
     c.dataset.score_filter = 0.0
     c.dataset.scale_uniform = False
+    # yaw sampling stride in degrees (reference hardcodes every 1 degree,
+    # ppl_dynamic.py:58-59; configurable here so miniature fixture trees
+    # don't need 360 renders per motion)
+    c.dataset.rotation_step = 1
     # hierarchical reconstruction (replaces ImplicitSegCUDA's Seg3dLossless)
     c.recon = CN()
     c.recon.resolutions = [17, 33, 65, 129, 257]

@@ -292,6 +292,14 @@ class ReconEngine:
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
         no_tex = images_c is None
         use_taps = self._calib_taps_ok(calibs)  # all-or-nothing per clip
+        if self.use_ray_query and not use_taps:
+            # one rotated calib in the clip disables the ray fast path for
+            # EVERY frame of this call — surface it so throughput
+            # regressions are diagnosable (ADVICE r2)
+            import logging
+            logging.getLogger(__name__).debug(
+                "frames(): mixed/rotated calibs in clip — ray-structured "
+                "fast path disabled for all %d frames of this call", b)
         key = (no_tex, use_taps)
         if key not in self._frames_jit:
             fn = jax.vmap(

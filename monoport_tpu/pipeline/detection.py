@@ -119,6 +119,7 @@ class Detection:
         self.net = DetectNet(width=width)
         self.variables = variables
         self._call = jax.jit(self._impl)
+        self._person_box = jax.jit(self._person_box_impl)
 
     @classmethod
     def load_default(cls, ckpt_path: Optional[str] = None
@@ -151,9 +152,22 @@ class Detection:
         the union of confident instance boxes, padded by ``pad`` x box
         size, clipped to the frame; ``fallback`` (or the full frame) when
         nothing is confident. This is exactly the scaled_boxes input of
-        the reference's Segmentation (RTL/main.py:345-350)."""
+        the reference's Segmentation (RTL/main.py:345-350).
+
+        The whole decode+union reduction runs in ONE jitted dispatch —
+        un-jitted per-frame jnp ops are very slow on the tunneled TPU
+        backend (CLAUDE.md), and this runs once per demo frame."""
         s = images.shape[1]
-        boxes, probs = self._call(images)
+        if fallback is None:
+            fallback = jnp.asarray([0.0, 0.0, s - 1.0, s - 1.0])
+        return self._person_box(images, jnp.float32(pad),
+                                jnp.float32(min_prob),
+                                jnp.asarray(fallback, jnp.float32))
+
+    def _person_box_impl(self, images, pad, min_prob, fallback):
+        s = images.shape[1]
+        heat, size, off = self.net.apply(self.variables, images * 2.0 - 1.0)
+        boxes, probs = decode(heat, size, off)
         conf = probs > min_prob                            # [B,K]
         big = jnp.float32(1e9)
         x1 = jnp.min(jnp.where(conf, boxes[..., 0], big), axis=1)
@@ -165,9 +179,6 @@ class Detection:
         out = jnp.stack([x1 - pad * w, y1 - pad * h,
                          x2 + pad * w, y2 + pad * h], axis=-1)
         out = jnp.clip(out, 0.0, s - 1.0)
-        if fallback is None:
-            fallback = jnp.asarray([0.0, 0.0, s - 1.0, s - 1.0])
-        fallback = jnp.broadcast_to(jnp.asarray(fallback, jnp.float32),
-                                    out.shape)
+        fallback = jnp.broadcast_to(fallback, out.shape)
         found = conf.any(axis=1)[:, None]
         return jnp.where(found, out, fallback)

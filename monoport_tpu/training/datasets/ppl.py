@@ -77,7 +77,9 @@ class _PPLBase:
         self.mean, self.std = mean, std
         self.training = training if split == "train" else False
         self.split = split
-        self.rotations = range(0, 360, 1)
+        # every 1 degree in the reference (ppl_dynamic.py:58-59); stride is
+        # config here so fixture trees can ship a handful of rotations
+        self.rotations = range(0, 360, int(cfg.get("rotation_step", 1)) or 1)
         self.motion_list: list = []
 
     def __len__(self):

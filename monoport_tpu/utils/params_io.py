@@ -16,10 +16,17 @@ def save_params(path: str, params, meta: dict | None = None) -> None:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {}
     for key, value in (meta or {}).items():
+        # the sentinel is exactly two underscores each side; edge
+        # underscores in the key itself would collide on load
+        assert not (key.startswith("_") or key.endswith("_")), key
         arrays[f"__{key}__"] = np.asarray(value, np.int32)
     for kpath, leaf in flat:
         name = "/".join(p.key for p in kpath)
-        arrays[name] = np.asarray(leaf, np.float16)
+        leaf = np.asarray(leaf)
+        # f16 on disk is only lossless-enough for float weights; an int
+        # leaf (step counters, BN counts) would be silently corrupted
+        assert np.issubdtype(leaf.dtype, np.floating), (name, leaf.dtype)
+        arrays[name] = leaf.astype(np.float16)
     np.savez_compressed(path, **arrays)
 
 
@@ -30,7 +37,7 @@ def load_params(path: str):
     params: dict = {}
     for name in data.files:
         if name.startswith("__") and name.endswith("__"):
-            meta[name.strip("_")] = int(data[name])
+            meta[name[2:-2]] = int(data[name])
             continue
         node = params
         parts = name.split("/")

@@ -1,0 +1,209 @@
+"""PPL dataset execution tests (VERDICT r2 item 3).
+
+Runs `PPLDynamicDataset` / `PPLStaticDataset` end-to-end on generated
+miniature fixture trees (training/datasets/fixture.py): sanity-check
+pruning, __getitem__ contract, aug/flip calib math, 50/50 rebalancing,
+retry-on-corrupt-sample, and one real train step through apps/train.py.
+Reference semantics: monoport/lib/dataset/ppl_dynamic.py:61-66 (retry),
+:181-212 (sanity check), :262-298 (sampling), ppl_static.py:10-39 (calib).
+"""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from monoport_tpu.config import get_cfg_defaults
+from monoport_tpu.training.datasets.fixture import (RADII,
+                                                    make_dynamic_fixture,
+                                                    make_static_fixture)
+from monoport_tpu.training.datasets.ppl import (PPLDynamicDataset,
+                                                PPLStaticDataset,
+                                                balance_in_out,
+                                                load_calib_dynamic)
+from monoport_tpu.training.datasets.utils import projection
+
+
+def _ds_cfg(**over):
+    cfg = get_cfg_defaults().dataset
+    cfg.rotation_step = 120
+    cfg.num_sample_geo = 64
+    cfg.blur = 0.0
+    for k, v in over.items():
+        cfg[k] = v
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def dyn_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ppl_dyn"))
+    info = make_dynamic_fixture(root)
+    return root, info
+
+
+@pytest.fixture(scope="module")
+def static_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ppl_static"))
+    info = make_static_fixture(root)
+    return root, info
+
+
+def test_sanity_check_prunes_broken_motions(dyn_root):
+    root, info = dyn_root
+    ds = PPLDynamicDataset(_ds_cfg(), root)
+    subjects = sorted(m[0] for m in ds.motion_list)
+    # the three defective motions (missing mesh, head-below-hip skeleton,
+    # out-of-frustum skeleton) are pruned at startup
+    assert subjects == ["subj_a", "subj_b"]
+    assert len(ds) == 2 * 3  # 2 motions x rotations {0, 120, 240}
+
+
+def test_dynamic_item_contract(dyn_root):
+    root, _ = dyn_root
+    ds = PPLDynamicDataset(_ds_cfg(), root)
+    item = ds.get_item(0)
+    assert item["image"].shape == (512, 512, 3)
+    assert item["image"].dtype == np.float32
+    assert item["mask"].shape == (512, 512, 1)
+    assert item["calib"].shape == (4, 4)
+    assert item["samples_geo"].shape == (64, 3)
+    assert item["labels_geo"].shape == (64,)
+    # 50/50 in/out rebalance (ppl_dynamic.py:281-294): the fixture's
+    # surface files contain far more than num_sample/2 inside points, so
+    # the split is exactly half
+    assert item["labels_geo"].mean() == 0.5
+    # background premultiplied to zero after normalization (utils.py:87)
+    assert np.abs(item["image"][(item["mask"][..., 0] < 0.5)]).max() == 0.0
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_projection_consistency(dyn_root, training):
+    """Inside-labelled samples projected with the RETURNED calib land on
+    the rendered silhouette — aug scale and flip included (the invariant
+    that breaks if the aug calib math drifts)."""
+    root, _ = dyn_root
+    ds = PPLDynamicDataset(_ds_cfg(), root, training=training)
+    random.seed(3)
+    np.random.seed(3)
+    for index in range(4):
+        item = ds.get_item(index)
+        pts = item["samples_geo"][item["labels_geo"] > 0.5]
+        ndc = projection(pts, item["calib"])
+        assert np.all(np.abs(ndc[:, :2]) <= 1.0)
+        u = np.clip(((ndc[:, 0] + 1) / 2 * 511).round().astype(int), 0, 511)
+        v = np.clip(((ndc[:, 1] + 1) / 2 * 511).round().astype(int), 0, 511)
+        on_mask = item["mask"][v, u, 0] > 0.5
+        assert on_mask.mean() > 0.97, (index, training, on_mask.mean())
+
+
+def test_augment_scale_flip_math(dyn_root):
+    """Exact aug math (ppl_dynamic.py:98-99 scale rows, :122-125 flip
+    negates calib row 0): replay the `random` draws the dataset makes."""
+    root, _ = dyn_root
+    cfg = _ds_cfg()
+    ds = PPLDynamicDataset(cfg, root, training=True)
+    motion, rotation = ds._decode(1)
+    base = load_calib_dynamic(ds.get_calib_path(motion, rotation))
+    center = np.loadtxt(ds.get_center_path(motion)).reshape(1, 3)
+    base[2, 3] -= projection(center, base).reshape(3)[2]
+
+    for seed in (7, 8, 9, 10):
+        random.seed(seed)
+        scale = random.uniform(0.9, 1.1)
+        flip = random.random() < 0.5
+        expected = base.copy()
+        expected[0:3] *= scale
+        if flip:
+            expected[0, :] *= -1
+
+        random.seed(seed)
+        item = ds.get_item(1)
+        np.testing.assert_allclose(item["calib"], expected.astype(np.float32),
+                                   rtol=1e-6)
+
+
+def test_retry_on_corrupt_sample(tmp_path):
+    """Any get_item exception retries a random index (ppl_dynamic.py:61-66)."""
+    root = str(tmp_path / "dyn")
+    make_dynamic_fixture(root, subjects=("s1", "s2"), broken=False)
+    ds = PPLDynamicDataset(_ds_cfg(), root)
+    # corrupt s1's rotation-0 calib => index of (s1, rot 0) now raises
+    bad_idx = next(i for i in range(len(ds))
+                   if ds._decode(i)[0][0] == "s1" and ds._decode(i)[1] == 0)
+    with open(ds.get_calib_path(ds._decode(bad_idx)[0], 0), "w") as f:
+        f.write("not a calib\n")
+    with pytest.raises(Exception):
+        ds.get_item(bad_idx)
+    # seed so the retry draw lands on a healthy index
+    for seed in range(20):
+        random.seed(seed)
+        if random.randint(0, len(ds) - 1) != bad_idx:
+            break
+    random.seed(seed)
+    item = ds[bad_idx]
+    assert item["image"].shape == (512, 512, 3)
+
+
+def test_balance_in_out_low_inside():
+    """nin <= num/2 branch: all inside points kept, outside tops up."""
+    samples = np.arange(30).reshape(10, 3).astype(np.float32)
+    inside = np.zeros(10)
+    inside[:2] = 1.0
+    pts, labels = balance_in_out(samples, inside, 8)
+    assert pts.shape == (8, 3)
+    assert labels.sum() == 2
+
+
+def test_static_item_and_calib(static_root):
+    root, info = static_root
+    ds = PPLStaticDataset(_ds_cfg(), root)
+    assert sorted(ds.motion_list) == ["stat_a", "stat_b"]
+    assert len(ds) == 2 * 3
+    item = ds.get_item(0)
+    assert item["image"].shape == (512, 512, 3)
+    assert item["samples_geo"].shape == (64, 3)
+    assert item["labels_geo"].mean() == 0.5
+
+    # calib math (ppl_static.py:10-39): center projects to the origin and
+    # a point one radius up maps to -ndc * ry (y flipped by the intrinsic)
+    from monoport_tpu.training.datasets.ppl import load_calib_static
+    calib = load_calib_static(ds.get_calib_path("stat_a", 0))
+    np.testing.assert_allclose(projection(np.zeros((1, 3)), calib), 0.0,
+                               atol=1e-12)
+    top = projection(np.asarray([[0.0, RADII[1], 0.0]]), calib)
+    np.testing.assert_allclose(top[0, 1], -info["ndc"] * RADII[1], rtol=1e-6)
+
+    ndc = projection(item["samples_geo"][item["labels_geo"] > 0.5],
+                     item["calib"])
+    u = np.clip(((ndc[:, 0] + 1) / 2 * 511).round().astype(int), 0, 511)
+    v = np.clip(((ndc[:, 1] + 1) / 2 * 511).round().astype(int), 0, 511)
+    # jpg compression + resize make the static mask edge soft: 90% bar
+    assert (item["mask"][v, u, 0] > 0.5).mean() > 0.90
+
+
+def test_train_step_on_fixture(dyn_root, tmp_path):
+    """One real epoch of apps/train.py --dataset ppl_dynamic on the
+    fixture tree — the full loader -> trainer -> jitted step path."""
+    from monoport_tpu.apps.train import main
+
+    root, _ = dyn_root
+    loss = main([
+        "--dataset", "ppl_dynamic", "--epochs", "1", "--",
+        "dataset.root_render", root,
+        "dataset.rotation_step", "120",
+        "dataset.num_sample_geo", "64",
+        "dataset.blur", "0.0",
+        "batch_size", "2",
+        "num_threads", "0",
+        "num_epoch", "1",
+        "freq_plot", "1",
+        "optim", "adam",
+        "learning_rate", "1e-3",
+        "checkpoints_path", str(tmp_path / "ckpt"),
+        "results_path", str(tmp_path / "results"),
+        "netG.backbone.num_stack", "1",
+        "netG.backbone.num_hourglass", "1",
+        "netG.backbone.hourglass_dim", "64",
+    ])
+    assert np.isfinite(loss)
