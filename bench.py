@@ -51,10 +51,40 @@ _enable_cache()
 #                         = the shipped profile; quality for candidate
 #                         points is measured by the CPU sweep in
 #                         tests/test_recon_quality.py / DESIGN.md)
+#   BENCH_MARCH=0         disable the volume-free ray-march pyramid and
+#                         run the coarse hierarchy instead (the r2 path)
 _RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
 _BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
 _RAY_TAPS = int(os.environ.get("BENCH_RAY_TAPS", "6"))
 _RAY_WINDOW = int(os.environ.get("BENCH_RAY_WINDOW", "192"))
+_MARCH = os.environ.get("BENCH_MARCH", "1") == "1" and _RAY_QUERY
+_MARCH_LEVELS = (33, 65)
+
+
+def canary_tflops() -> float:
+    """Chained 2048^3 bf16 matmul rate — a fixed tiny program that
+    calibrates how fast the SHARED chip is running this session, so any
+    bench capture is interpretable against chip/relay load (DESIGN.md:
+    bit-identical frame programs measured 28-38 fps across sessions)."""
+    n = 2048
+    x = jnp.ones((n, n), jnp.bfloat16)
+    w = jnp.eye(n, dtype=jnp.bfloat16) * 1.00001
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(x, iters):
+        def body(_, x):
+            return jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    for it in (64, 128):
+        _ = np.asarray(loop(x, it)[0, 0])
+    ts = []
+    for it in (64, 128, 64, 128):
+        t0 = time.perf_counter()
+        _ = np.asarray(loop(x, it)[0, 0])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts[1], ts[3]) - min(ts[0], ts[2])
+    return 2 * n**3 * 64 / max(dt, 1e-9) / 1e12
 
 
 def measure_fps(run_loop_n, iters: int, reps: int = 5):
@@ -126,12 +156,13 @@ def build_frame():
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
                          ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
                          compute_dtype=jnp.bfloat16, use_pallas=True,
-                         use_ray_query=_RAY_QUERY)
+                         use_ray_query=_RAY_QUERY,
+                         march_levels=_MARCH_LEVELS if _MARCH else None)
     if _BF16_FEATS:
         engine._feats_f32 = lambda feats: feats
 
     from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
-    from monoport_tpu.recon.ray_refine import ray_refine
+    from monoport_tpu.recon.ray_refine import ray_pyramid, ray_refine
 
     def _analytic(pts):
         center = jnp.asarray([0.0, -0.1, 0.0])
@@ -167,11 +198,33 @@ def build_frame():
             analytic = _analytic(pts)
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
 
-        vol, counts = engine.recon(query_occ, return_counts=True)
-        maps = ray_refine(query_occ, vol, engine.fine_res,
-                          taps=engine.ray_taps, window=engine.ray_window,
-                          query_taps_fn=(query_taps_occ if qt is not None
-                                         else None))
+        # grid-structured variant (separable gather-free sampling)
+        qg = engine._query_grid_fn(engine.netG, params_g, feats_g, calib_t)
+
+        def query_grid_occ(xw, yw, wz):
+            pred = qg(xw, yw, wz)                          # [H, W, T]
+            h, w, t = wz.shape
+            pts = jnp.stack([
+                jnp.broadcast_to(xw[:, None, None], (h, w, t)),
+                jnp.broadcast_to(yw[None, :, None], (h, w, t)), wz], -1)
+            analytic = _analytic(pts)
+            return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
+
+        if _MARCH and qt is not None:
+            counts = [jnp.zeros((), jnp.int32)]   # no hierarchy bands
+            maps = ray_pyramid(query_occ, engine.fine_res,
+                               levels=engine.march_levels,
+                               taps=engine.ray_taps,
+                               window=engine.ray_window,
+                               query_taps_fn=query_taps_occ,
+                               query_grid_fn=(query_grid_occ
+                                              if qg is not None else None))
+        else:
+            vol, counts = engine.recon(query_occ, return_counts=True)
+            maps = ray_refine(query_occ, vol, engine.fine_res,
+                              taps=engine.ray_taps, window=engine.ray_window,
+                              query_taps_fn=(query_taps_occ
+                                             if qt is not None else None))
         render_norm, mask = visualize(shade_normal(maps), engine.render_size)
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_c, feat_prior,
@@ -179,11 +232,20 @@ def build_frame():
         feats_c = engine._feats_f32(feats_c)
         head_c = engine._head_fn(engine.netC, params_c)
 
-        def query_color(pts):
-            return engine.netC.apply(params_c, feats_c, pts, calib_t,
-                                     method="query", head_fn=head_c)[0]
+        cg = engine._grid_color_fn(engine.netC, params_c, feats_c, calib_t)
+        if cg is not None:   # gather-free texture pass (engine fast path)
+            r = engine.fine_res
+            sr = 2.0 / r
+            a = jnp.arange(r, dtype=jnp.float32)
+            color = cg(a * sr - 1.0, a * sr - 1.0,
+                       (float(r) - maps.depth) * sr - 1.0) * 0.5 + 0.5
+            tex_canvas = jnp.where(maps.valid[..., None], color, 1.0)
+        else:
+            def query_color(pts):
+                return engine.netC.apply(params_c, feats_c, pts, calib_t,
+                                         method="query", head_fn=head_c)[0]
 
-        tex_canvas = colorize(maps, query_color, engine.fine_res)
+            tex_canvas = colorize(maps, query_color, engine.fine_res)
         render_tex, mask_tex = visualize(tex_canvas, engine.render_size)
         return {"render_norm": render_norm, "render_tex": render_tex,
                 "mask": mask_tex,
@@ -238,7 +300,8 @@ def bench_real(iters: int = 60):
                               select="uncertain")
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
                          ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
-                         compute_dtype=jnp.bfloat16, use_pallas=True)
+                         compute_dtype=jnp.bfloat16, use_pallas=True,
+                         march_levels=_MARCH_LEVELS if _MARCH else None)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params_g, params_c, img, n):
@@ -246,9 +309,10 @@ def bench_real(iters: int = 60):
             img, counts = carry
             out = engine._frame_impl(params_g, params_c, img,
                                      img if netC is not None else None,
-                                     calib)
+                                     calib, use_taps=True, use_grid=True)
+            counts = out.get("recon_counts", counts)  # march: no bands
             return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
-                    out["recon_counts"])
+                    counts)
         n_lv = len(recon.resolutions) - 1
         return jax.lax.fori_loop(0, n, body,
                                  (img, jnp.zeros((n_lv,), jnp.int32)))
@@ -299,20 +363,22 @@ def bench_real(iters: int = 60):
         gt_sil = occ if gt_sil is None else (gt_sil | occ)
     iou_gt = float((got_v & gt_sil).sum() / max((got_v | gt_sil).sum(), 1))
 
-    return {
+    out = {
         "real_fps": round(fps, 2),
         "real_fps_incl_tunnel_overhead": round(fps_lower, 2),
         "real_ray_vs_dense_iou": round(iou_path, 4),
         "real_depth_err_med_voxels": round(float(np.median(err)), 3),
         "real_model_vs_gt_iou": round(iou_gt, 4),
-        "real_band_counts": np.asarray(counts).tolist(),
     }
+    if not _MARCH:
+        out["real_band_counts"] = np.asarray(counts).tolist()
+    return out
 
 
 def main():
     frame_impl, params_g, params_c, image, calib, engine = build_frame()
     iters = 60  # long on-device chain: amortizes the noisy fetch RTT
-    n_levels = len(engine.recon.resolutions) - 1
+    n_levels = 1 if _MARCH else len(engine.recon.resolutions) - 1
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def bench_loop(params_g, params_c, img, n):
@@ -337,21 +403,27 @@ def main():
 
     fps, fps_lower = measure_fps(run_loop_n, iters)
 
-    counts = np.asarray(counts).tolist()         # after timing: tiny fetch
-    budgets = list(engine.recon.budgets[1:])
     result = {
         "metric": "end-to-end recon FPS at 256^3-equivalent (netG filter +"
-                  " hierarchical occupancy + ray-refined depth/normals +"
+                  " coarse-to-fine occupancy + ray-refined depth/normals +"
                   " netC texture, single chip, one fused program)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "fps_incl_tunnel_overhead": round(fps_lower, 2),
-        "recon_band_counts": counts,
-        "recon_band_budgets": budgets,
-        "recon_band_overflow": any(c > b for c, b in zip(counts, budgets)),
+        "recon_mode": ("march_pyramid" if _MARCH else "hierarchy"),
     }
+    if not _MARCH:
+        counts = np.asarray(counts).tolist()     # after timing: tiny fetch
+        budgets = list(engine.recon.budgets[1:])
+        result.update({
+            "recon_band_counts": counts,
+            "recon_band_budgets": budgets,
+            "recon_band_overflow": any(
+                c > b for c, b in zip(counts, budgets)),
+        })
     result.update(bench_real())  # trained-weights path (no analytic swap)
+    result["canary_tflops_bf16"] = round(canary_tflops(), 1)
     print(json.dumps(result))
 
 

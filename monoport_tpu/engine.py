@@ -39,7 +39,8 @@ class ReconEngine:
                  fine_res: int = 257, ray_taps: int = 6,
                  ray_window: int | None = None,
                  use_pallas: bool = False, pallas_interpret: bool = False,
-                 use_ray_query: bool = True, mesh=None):
+                 use_ray_query: bool = True,
+                 march_levels: Optional[tuple] = None, mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -51,6 +52,12 @@ class ReconEngine:
         (frontal pifu_calib, RTL/recon.py:13-21); frame()/frames() check
         the concrete calib per call and fall back to the exact per-point
         fine pass for rotated view cameras. False disables it outright.
+        march_levels: e.g. (33, 65) — replace the coarse hierarchy +
+        depth peel with the volume-free ray-march pyramid
+        (recon/ray_refine.ray_pyramid) on frontal taps-eligible frames:
+        better thin-limb quality AND ~10 ms/frame less volume-op cost on
+        TPU (r3 stage ledger, DESIGN.md). Rotated-calib frames still run
+        the hierarchy path; march mode emits no 'sdf'/'recon_counts'.
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -73,13 +80,18 @@ class ReconEngine:
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
         self.use_ray_query = use_ray_query
+        self.march_levels = tuple(march_levels) if march_levels else None
+        if self.march_levels:
+            assert mode == "ray" and direction == "front", \
+                "march_levels requires mode='ray' and the frontal viewer"
+            assert use_ray_query, "the march pyramid rides query_taps"
         self.mesh = mesh
         # use_taps is static: frame() picks the variant per call from the
         # CONCRETE calib (the ray-structured fast path is only valid when
         # the image-plane rows have no z term; a rotating demo camera must
         # fall back to the exact per-point fine pass)
         self._frame = jax.jit(self._frame_impl,
-                              static_argnames=("use_taps",))
+                              static_argnames=("use_taps", "use_grid"))
         # vmapped variants: keyed on (texture stream?, taps ok?)
         # (in_axes differ; retraces for new shapes are jax.jit's job)
         self._frames_jit: dict[tuple, Any] = {}
@@ -93,6 +105,18 @@ class ReconEngine:
         import numpy as np
         c = np.asarray(calibs)
         return bool(np.abs(c[..., :2, 2]).max() < 1e-6)
+
+    def _calib_grid_ok(self, calibs) -> bool:
+        """True iff the calib's image rows are DIAGONAL and z-free (u from
+        x alone, v from y alone) — the validity condition of the separable
+        gather-free sampling (query_taps_grid). Frontal pifu_calib
+        qualifies; any in-plane rotation falls back to query_taps."""
+        if not self._calib_taps_ok(calibs):
+            return False
+        import numpy as np
+        c = np.asarray(calibs)
+        return bool(max(np.abs(c[..., 0, 1]).max(),
+                        np.abs(c[..., 1, 0]).max()) < 1e-6)
 
     def _shard_points(self, x: jax.Array, axis: int = 1) -> jax.Array:
         """Constrain a point/ray batch to the mesh's 'points' axis."""
@@ -133,9 +157,10 @@ class ReconEngine:
                                  compute_dtype=dtype,
                                  interpret=self.pallas_interpret)
 
-    def _query_taps_fn(self, net: MonoPortNet, params: Any, feats, calib):
-        """Ray-structured occupancy query for the fine pass, or None when
-        the net config can't use it (soft-onehot z, non-orthogonal)."""
+    def _ray_head(self, net: MonoPortNet, params: Any):
+        """Packed ray-structured head (shared z-splitting MLP kernel) for
+        a net, or None when the config can't use it (soft-onehot z,
+        non-orthogonal projection)."""
         if not self.use_ray_query:
             return None
         from .config import CN
@@ -155,12 +180,18 @@ class ReconEngine:
         packed = pack_ray_mlp_params(params["params"]["surface_classifier"],
                                      dtype=dtype)
         if self.use_pallas:
-            head = functools.partial(apply_ray_packed, packed,
+            return functools.partial(apply_ray_packed, packed,
                                      last_op=last_op, compute_dtype=dtype,
                                      interpret=self.pallas_interpret)
-        else:
-            head = functools.partial(apply_ray_xla, packed,
-                                     last_op=last_op, compute_dtype=dtype)
+        return functools.partial(apply_ray_xla, packed,
+                                 last_op=last_op, compute_dtype=dtype)
+
+    def _query_taps_fn(self, net: MonoPortNet, params: Any, feats, calib):
+        """Ray-structured occupancy query for the fine pass, or None when
+        the net config can't use it (soft-onehot z, non-orthogonal)."""
+        head = self._ray_head(net, params)
+        if head is None:
+            return None
 
         def query_taps(xy, z_taps):
             xy = self._shard_points(xy)
@@ -169,6 +200,42 @@ class ReconEngine:
                              method="query_taps", head_taps_fn=head)[..., 0]
 
         return query_taps
+
+    def _query_grid_fn(self, net: MonoPortNet, params: Any, feats, calib):
+        """Grid-structured occupancy query (separable gather-free feature
+        sampling, ops/sampling.index_grid) for outer-product ray lattices,
+        or None when ineligible. Single-chip only (no points sharding)."""
+        if self.mesh is not None:
+            return None
+        head = self._ray_head(net, params)
+        if head is None:
+            return None
+
+        def query_grid(xw, yw, wz):
+            return net.apply(params, feats, xw[None], yw[None], wz[None],
+                             calib, method="query_taps_grid",
+                             head_taps_fn=head)[0, ..., 0]
+
+        return query_grid
+
+    def _grid_color_fn(self, net: MonoPortNet, params: Any, feats, calib):
+        """Grid-structured TEXTURE query: one surface point per ray on the
+        outer-product lattice ([r] x [r] world axes + [r, r] surface z) ->
+        [r, r, 3] colors. Replaces colorize()'s 257^2-point gather+MLP on
+        the frontal path (the gather alone measured ~8 ms; r3 ledger)."""
+        if self.mesh is not None:
+            return None
+        head = self._ray_head(net, params)
+        if head is None:
+            return None
+
+        def color_grid(xw, yw, zw):
+            return net.apply(params, feats, xw[None], yw[None],
+                             zw[None, ..., None], calib,
+                             method="query_taps_grid",
+                             head_taps_fn=head)[0, :, :, 0, :]
+
+        return color_grid
 
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32 or tree is None:
@@ -179,7 +246,7 @@ class ReconEngine:
 
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
                     image_c: Optional[jax.Array], calib: jax.Array,
-                    use_taps: bool = True):
+                    use_taps: bool = True, use_grid: bool = False):
         params_g = self._cast(params_g)
         params_c = self._cast(params_c)
         image_g = self._cast(image_g)
@@ -193,28 +260,45 @@ class ReconEngine:
             return self.netG.apply(params_g, feats_g, pts, calib,
                                    method="query", head_fn=head_g)[0]
 
-        vol, counts = self.recon(query_occ, return_counts=True)
-        if self.mode == "ray":
-            from .recon.ray_refine import ray_refine
+        qt = (self._query_taps_fn(self.netG, params_g, feats_g, calib)
+              if use_taps else None)
+        qg = (self._query_grid_fn(self.netG, params_g, feats_g, calib)
+              if (use_taps and use_grid) else None)
+        if self.march_levels and qt is not None and use_taps:
+            # volume-free fast path: no hierarchy, no depth peel, no sdf
+            from .recon.ray_refine import ray_pyramid
             resolution = self.fine_res
-            maps = ray_refine(query_occ, vol, self.fine_res,
-                              taps=self.ray_taps,
-                              balance_value=self.recon.balance_value,
-                              b_min=self.recon.b_min,
-                              b_max=self.recon.b_max,
-                              direction=self.direction,
-                              window=self.ray_window,
-                              query_taps_fn=(self._query_taps_fn(
-                                  self.netG, params_g, feats_g, calib)
-                                  if use_taps else None))
+            vol, counts = None, []
+            maps = ray_pyramid(query_occ, self.fine_res,
+                               levels=self.march_levels, taps=self.ray_taps,
+                               balance_value=self.recon.balance_value,
+                               b_min=self.recon.b_min,
+                               b_max=self.recon.b_max,
+                               window=self.ray_window, query_taps_fn=qt,
+                               query_grid_fn=qg)
         else:
-            resolution = self.recon.resolutions[-1]
-            maps = depth_peel(vol, self.direction,
-                              self.recon.balance_value)
+            vol, counts = self.recon(query_occ, return_counts=True)
+            if self.mode == "ray":
+                from .recon.ray_refine import ray_refine
+                resolution = self.fine_res
+                maps = ray_refine(query_occ, vol, self.fine_res,
+                                  taps=self.ray_taps,
+                                  balance_value=self.recon.balance_value,
+                                  b_min=self.recon.b_min,
+                                  b_max=self.recon.b_max,
+                                  direction=self.direction,
+                                  window=self.ray_window,
+                                  query_taps_fn=qt, query_grid_fn=qg)
+            else:
+                resolution = self.recon.resolutions[-1]
+                maps = depth_peel(vol, self.direction,
+                                  self.recon.balance_value)
         norm_canvas = shade_normal(maps)
         render_norm, mask = visualize(norm_canvas, self.render_size)
-        out = {"sdf": vol, "depth": maps.depth, "valid": maps.valid,
+        out = {"depth": maps.depth, "valid": maps.valid,
                "render_norm": render_norm, "mask": mask}
+        if vol is not None:
+            out["sdf"] = vol
         if counts:
             # per-refine-level candidate counts (budget-overflow telemetry;
             # compare against self.recon.budgets[1:])
@@ -227,13 +311,33 @@ class ReconEngine:
             feats_c = self._feats_f32(feats_c)
             head_c = self._head_fn(self.netC, params_c)
 
-            def query_color(pts):
-                pts = self._shard_points(pts)
-                return self.netC.apply(params_c, feats_c, pts, calib,
-                                       method="query", head_fn=head_c)[0]
+            color_grid = (self._grid_color_fn(self.netC, params_c, feats_c,
+                                              calib)
+                          if (use_taps and use_grid) else None)
+            if color_grid is not None:
+                # gather-free texture pass: the ray lattice is an outer-
+                # product grid, so the voxel->world map of
+                # surface_world_points (RTL/main.py:204-210 semantics)
+                # factors into per-axis vectors + the per-ray surface z
+                r = resolution
+                b_min = jnp.asarray(self.recon.b_min, jnp.float32)
+                b_max = jnp.asarray(self.recon.b_max, jnp.float32)
+                sr = (b_max - b_min) / r
+                a = jnp.arange(r, dtype=jnp.float32)
+                color = color_grid(a * sr[0] + b_min[0],
+                                   a * sr[1] + b_min[1],
+                                   (float(r) - maps.depth) * sr[2]
+                                   + b_min[2]) * 0.5 + 0.5
+                tex_canvas = jnp.where(maps.valid[..., None], color, 1.0)
+            else:
+                def query_color(pts):
+                    pts = self._shard_points(pts)
+                    return self.netC.apply(params_c, feats_c, pts, calib,
+                                           method="query",
+                                           head_fn=head_c)[0]
 
-            tex_canvas = colorize(maps, query_color, resolution,
-                                  self.recon.b_min, self.recon.b_max)
+                tex_canvas = colorize(maps, query_color, resolution,
+                                      self.recon.b_min, self.recon.b_max)
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
         return out
@@ -275,7 +379,8 @@ class ReconEngine:
         if calib is None:
             calib = jnp.eye(4, dtype=jnp.float32)[None]
         return self._frame(params_g, params_c, image_g, image_c, calib,
-                           use_taps=self._calib_taps_ok(calib))
+                           use_taps=self._calib_taps_ok(calib),
+                           use_grid=self._calib_grid_ok(calib))
 
     def frames(self, params_g: Any, images_g: jax.Array,
                params_c: Any = None, images_c: Optional[jax.Array] = None,
@@ -292,6 +397,7 @@ class ReconEngine:
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
         no_tex = images_c is None
         use_taps = self._calib_taps_ok(calibs)  # all-or-nothing per clip
+        use_grid = self._calib_grid_ok(calibs)
         if self.use_ray_query and not use_taps:
             # one rotated calib in the clip disables the ray fast path for
             # EVERY frame of this call — surface it so throughput
@@ -300,10 +406,11 @@ class ReconEngine:
             logging.getLogger(__name__).debug(
                 "frames(): mixed/rotated calibs in clip — ray-structured "
                 "fast path disabled for all %d frames of this call", b)
-        key = (no_tex, use_taps)
+        key = (no_tex, use_taps, use_grid)
         if key not in self._frames_jit:
             fn = jax.vmap(
-                functools.partial(self._frame_impl, use_taps=use_taps),
+                functools.partial(self._frame_impl, use_taps=use_taps,
+                                  use_grid=use_grid),
                 in_axes=(None, None, 0, None if no_tex else 0, 0))
             self._frames_jit[key] = jax.jit(fn)
         return self._frames_jit[key](params_g, params_c, images_g,

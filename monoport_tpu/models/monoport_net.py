@@ -141,6 +141,57 @@ class MonoPortNet(nn.Module):
                 x.reshape(b, r * t, -1)).reshape(b, r, t, -1)
         return in_img[..., None, None].astype(pred.dtype) * pred
 
+    # -- grid-structured query (frontal fast path, gather-free) --------------
+    def query_taps_grid(self, feats_stages: FeatStages, x_world: jax.Array,
+                        y_world: jax.Array, z_world: jax.Array,
+                        calibs: Optional[jax.Array] = None,
+                        head_taps_fn=None) -> jax.Array:
+        """Eval-mode query of an OUTER-PRODUCT ray lattice: x_world [B,Nu]
+        x y_world [B,Nv] with z_world [B,Nu,Nv,T] z-taps ->
+        [B, Nu, Nv, T, Res].
+
+        Same arithmetic as ``query_taps`` on the flattened grid, but the
+        pixel-aligned feature sampling is the separable matmul
+        ``index_grid`` — no gathers at all. VALID ONLY when the calib's
+        image-plane rows are diagonal and z-free (u depends on x alone, v
+        on y alone): frontal pifu_calib (RTL/recon.py:13-21). The z row
+        may still mix axes (per-point scalar). Callers gate on the
+        concrete calib (engine._calib_grid_ok)."""
+        from ..ops.sampling import index_grid
+
+        assert not self.normalizer.soft_onehot, \
+            "query_taps_grid requires the scalar z normalizer"
+        feats = feats_stages[-1]
+        if calibs is not None:
+            u = calibs[:, 0, 0, None] * x_world + calibs[:, 0, 3, None]
+            v = calibs[:, 1, 1, None] * y_world + calibs[:, 1, 3, None]
+            zc = (calibs[:, 2, 0, None, None, None] * x_world[:, :, None, None]
+                  + calibs[:, 2, 1, None, None, None] * y_world[:, None, :, None]
+                  + calibs[:, 2, 2, None, None, None] * z_world
+                  + calibs[:, 2, 3, None, None, None])
+        else:
+            u, v, zc = x_world, y_world, z_world
+        in_img = ((u[:, :, None] >= -1.0) & (u[:, :, None] <= 1.0)
+                  & (v[:, None, :] >= -1.0) & (v[:, None, :] <= 1.0))
+        z_feat = self.normalizer(zc[..., None])[..., 0]   # [B, Nu, Nv, T]
+        feat = jnp.concatenate(
+            [index_grid(f, u, v) for f in feats], axis=-1)
+        b, nu, nv, c = feat.shape
+        t = z_feat.shape[-1]
+        feat = feat.reshape(b, nu * nv, c)
+        zf = z_feat.reshape(b, nu * nv, t).astype(feat.dtype)
+        if head_taps_fn is not None:
+            pred = head_taps_fn(feat, zf)
+        else:
+            x = jnp.concatenate([
+                jnp.broadcast_to(feat[:, :, None],
+                                 (b, nu * nv, t, feat.shape[-1])),
+                zf[..., None]], axis=-1)
+            pred = self.surface_classifier(
+                x.reshape(b, nu * nv * t, -1)).reshape(b, nu * nv, t, -1)
+        pred = pred.reshape(b, nu, nv, t, -1)
+        return in_img[..., None, None].astype(pred.dtype) * pred
+
     # -- loss (MonoPortNet.py:93-117) ----------------------------------------
     def get_loss(self, pred_stages: Sequence[jax.Array],
                  labels: jax.Array) -> jax.Array:

@@ -68,3 +68,37 @@ def grid_sample_2d(feat: jax.Array, uv: jax.Array,
 def index(feat: jax.Array, uv: jax.Array) -> jax.Array:
     """PIFu `index`: sample [B,H,W,C] at [B,N,2] -> [B,N,C] (geometry.py:4)."""
     return grid_sample_2d(feat, uv, align_corners=True)
+
+
+def bilinear_rows(pos_ndc: jax.Array, size: int) -> jax.Array:
+    """[N] normalized positions -> [N, size] bilinear interpolation matrix
+    (align_corners=True, zeros outside [-1, 1] — exactly `index`'s tap
+    weights, expressed as a dense row so sampling becomes a matmul)."""
+    x = (pos_ndc.astype(jnp.float32) + 1.0) * 0.5 * (size - 1)
+    j = jnp.arange(size, dtype=jnp.float32)
+    # the hat function IS zeros-padding: any tap outside the grid simply
+    # has no column, so partially-outside positions keep exactly the
+    # in-bounds tap weight the gather form gives them
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - j[None, :]))
+
+
+def index_grid(feat: jax.Array, u_ndc: jax.Array,
+               v_ndc: jax.Array) -> jax.Array:
+    """Separable `index` at an OUTER-PRODUCT grid of positions:
+    [B, H, W, C] sampled at u_ndc [B, Nu] (W axis) x v_ndc [B, Nv] (H axis)
+    -> [B, Nu, Nv, C].
+
+    Identical semantics to ``index`` at the flattened grid points, but the
+    four-tap gathers become two separable matmuls (MXU work) — on TPU an
+    irregular row gather costs far more than the equivalent dense GEMM
+    (r3 ledger: the 257^2 texture gather alone was ~8 ms; DESIGN.md).
+    Used by the frontal fast path, where every query lattice (march
+    levels, fine ray window, texture rays) is an outer-product grid.
+    """
+    _, h, w, _ = feat.shape
+    wx = jax.vmap(lambda p: bilinear_rows(p, w))(u_ndc)      # [B, Nu, W]
+    wy = jax.vmap(lambda p: bilinear_rows(p, h))(v_ndc)      # [B, Nv, H]
+    wx = wx.astype(feat.dtype)
+    wy = wy.astype(feat.dtype)
+    rows = jnp.einsum("bnh,bhwc->bnwc", wy, feat)            # [B, Nv, W, C]
+    return jnp.einsum("buw,bnwc->bunc", wx, rows)            # [B, Nu, Nv, C]

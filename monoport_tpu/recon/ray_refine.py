@@ -35,20 +35,48 @@ from ..ops.resize import interpolate_2d
 from .depth_peel import SurfaceMaps, depth_peel
 
 
+def _first_crossing(vals: jax.Array, c_taps: jax.Array,
+                    balance_value: float):
+    """First iso-crossing along the tap axis: vals/c_taps [..., T] ->
+    (z sub-tap crossing depth, hit mask, v1, v2, c1, c2). Tap order is
+    increasing c (away from the viewer); the crossing is interpolated
+    between the first inside tap and its predecessor (same form as
+    RTL/recon.py:77)."""
+    taps = vals.shape[-1]
+    occ = vals > balance_value
+    hit = occ.any(axis=-1)
+    first = jnp.argmax(
+        occ * jnp.arange(taps, 0, -1, dtype=jnp.int32), axis=-1)
+    prev = jnp.maximum(first - 1, 0)
+    take = lambda m, i: jnp.take_along_axis(m, i[..., None], axis=-1)[..., 0]
+    v1 = take(vals, first)            # inside value
+    v2 = take(vals, prev)             # outside value (closer to viewer)
+    c1 = take(c_taps, first)
+    c2 = take(c_taps, prev)
+    denom = v2 - v1
+    z = (c2 * (balance_value - v1) + c1 * (v2 - balance_value)) / jnp.where(
+        jnp.abs(denom) > 1e-12, denom, 1.0)
+    return z, hit, v1, v2, c1, c2
+
+
 def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  ax: jax.Array, by: jax.Array, rf: int, taps: int,
                  scale: float, balance_value: float, b_min, b_max,
-                 spacing=(1.0, 1.0), query_taps_fn: Callable | None = None):
-    """Shared fine pass over an arbitrary ray grid.
+                 spacing=(1.0, 1.0), query_taps_fn: Callable | None = None,
+                 query_grid_fn: Callable | None = None):
+    """Shared fine pass over an outer-product ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
-    ax/by: [H, W] fine ray indices (x, y);
+    ax/by: [H] / [W] 1D fine ray indices (the grid is their outer product);
     spacing: ray pitch in fine units along each grid axis (>1 when a
     strided window covers a subject larger than the window — normals must
     see the true x/y distance between neighbor rays);
+    query_grid_fn: optional grid-structured query (xw [H], yw [W],
+    wz [H,W,T] world -> [H,W,T] occupancy) — the gather-free separable-
+    sampling fast path (ops/sampling.index_grid);
     query_taps_fn: optional ray-structured query ([1,R,2] xy world +
     [1,R,T] z world -> [1,R,T] occupancy) — the fused gather-once-per-ray
-    fast path (ops/pallas/fused_ray_mlp.py) — else the generic per-point
+    path (ops/pallas/fused_ray_mlp.py) — else the generic per-point
     ``query_fn`` runs on the flattened [1, R*T, 3] batch.
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
@@ -64,33 +92,25 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     h, w = depth_f.shape
     # vol index i = rf-1-c (depth_peel convention); world from (x, y, i)
     wz = ((rf - 1) - c_taps) * step[2] + b_min[2]               # [H, W, T]
-    if query_taps_fn is not None:
-        xy = jnp.stack([ax * step[0] + b_min[0],
-                        by * step[1] + b_min[1]], axis=-1)      # [H, W, 2]
+    xw1 = ax * step[0] + b_min[0]                               # [H]
+    yw1 = by * step[1] + b_min[1]                               # [W]
+    if query_grid_fn is not None:
+        vals = query_grid_fn(xw1, yw1, wz).astype(jnp.float32)
+    elif query_taps_fn is not None:
+        xy = jnp.stack([jnp.broadcast_to(xw1[:, None], (h, w)),
+                        jnp.broadcast_to(yw1[None, :], (h, w))],
+                       axis=-1)                                 # [H, W, 2]
         vals = query_taps_fn(xy.reshape(1, -1, 2),
                              wz.reshape(1, -1, taps))
         vals = vals.reshape(h, w, taps).astype(jnp.float32)
     else:
-        wx = (ax * step[0] + b_min[0])[..., None] + 0 * c_taps
-        wy = (by * step[1] + b_min[1])[..., None] + 0 * c_taps
+        wx = jnp.broadcast_to(xw1[:, None, None], (h, w, taps))
+        wy = jnp.broadcast_to(yw1[None, :, None], (h, w, taps))
         pts = jnp.stack([wx, wy, wz], axis=-1).reshape(1, -1, 3)
         vals = query_fn(pts)[0, :, 0].reshape(h, w, taps).astype(jnp.float32)
 
     # first tap (smallest c) that is inside the surface
-    occ = vals > balance_value
-    hit = occ.any(axis=-1)
-    first = jnp.argmax(
-        occ * jnp.arange(taps, 0, -1, dtype=jnp.int32), axis=-1)  # [H, W]
-    prev = jnp.maximum(first - 1, 0)
-
-    take = lambda m, i: jnp.take_along_axis(m, i[..., None], axis=-1)[..., 0]
-    v1 = take(vals, first)            # inside value
-    v2 = take(vals, prev)             # outside value (closer to viewer)
-    c1 = take(c_taps, first)
-    c2 = take(c_taps, prev)
-    denom = v2 - v1
-    z = (c2 * (balance_value - v1) + c1 * (v2 - balance_value)) / jnp.where(
-        jnp.abs(denom) > 1e-12, denom, 1.0)
+    z, hit, v1, v2, c1, c2 = _first_crossing(vals, c_taps, balance_value)
     z = jnp.clip(z, 0.0, float(rf))
     # rays whose window missed the surface fall back to the coarse depth
     z = jnp.where(hit, z, depth_f)
@@ -142,7 +162,8 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
                b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
                direction: str = "front",
                window: int | None = None,
-               query_taps_fn: Callable | None = None) -> SurfaceMaps:
+               query_taps_fn: Callable | None = None,
+               query_grid_fn: Callable | None = None) -> SurfaceMaps:
     """-> SurfaceMaps at ``fine_res`` ray resolution (depth in fine voxel
     units along the viewing axis, matching depth_peel's convention).
 
@@ -152,19 +173,34 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
     (RTL/main.py:290). Rays outside the window keep the upsampled coarse
     surface. Static shape, dynamic position.
     """
-    rc = vol_coarse.shape[0]
+    coarse = depth_peel(vol_coarse, direction, balance_value)
+    return refine_from_maps(query_fn, coarse, vol_coarse.shape[0], fine_res,
+                            taps=taps, balance_value=balance_value,
+                            b_min=b_min, b_max=b_max, window=window,
+                            query_taps_fn=query_taps_fn,
+                            query_grid_fn=query_grid_fn)
+
+
+def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
+                     fine_res: int, taps: int = 6,
+                     balance_value: float = 0.5,
+                     b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
+                     window: int | None = None,
+                     query_taps_fn: Callable | None = None,
+                     query_grid_fn: Callable | None = None) -> SurfaceMaps:
+    """Fine pass from coarse per-ray maps (rc^2 grid, depth in rc-voxel
+    units) instead of a coarse volume — the shared tail of ``ray_refine``
+    and the volume-free ``ray_pyramid``."""
     rf = fine_res
     scale = (rf - 1) / (rc - 1)
-
-    coarse = depth_peel(vol_coarse, direction, balance_value)
     depth_f, valid_f = _upsampled_coarse(coarse, rf, scale)
 
     if window is None or window >= rf:
         a = jnp.arange(rf, dtype=jnp.float32)
-        ax, by = jnp.meshgrid(a, a, indexing="ij")
-        return _refine_core(query_fn, depth_f, valid_f, ax, by, rf, taps,
+        return _refine_core(query_fn, depth_f, valid_f, a, a, rf, taps,
                             scale, balance_value, b_min, b_max,
-                            query_taps_fn=query_taps_fn)
+                            query_taps_fn=query_taps_fn,
+                            query_grid_fn=query_grid_fn)
 
     # --- adaptive windowed fine pass ---
     # window x window rays are spread over the subject's bbox (from the
@@ -180,11 +216,11 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
     bw = y0 + jnp.arange(window, dtype=jnp.float32) * sy_stride
     d_w = _sample_grid(depth_f, aw, bw)
     v_w = _sample_grid(valid_f.astype(jnp.float32), aw, bw) > 0.0
-    ax, by = jnp.meshgrid(aw, bw, indexing="ij")
-    maps_w = _refine_core(query_fn, d_w, v_w, ax, by, rf, taps, scale,
+    maps_w = _refine_core(query_fn, d_w, v_w, aw, bw, rf, taps, scale,
                           balance_value, b_min, b_max,
                           spacing=(sx_stride, sy_stride),
-                          query_taps_fn=query_taps_fn)
+                          query_taps_fn=query_taps_fn,
+                          query_grid_fn=query_grid_fn)
 
     # resample the refined window back onto the full fine grid (exact
     # gather when stride == 1); outside the window keep the coarse maps
@@ -230,6 +266,79 @@ def _axis_window(any_valid: jax.Array, rc: int, rf: int, scale: float,
     # gather (and bit-equal to the unwindowed pass over the subject)
     start = jnp.where(stride <= 1.0, jnp.round(start), start)
     return start, stride
+
+
+def ray_march(query_fn: Callable, res: int, balance_value: float = 0.5,
+              b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
+              query_taps_fn: Callable | None = None,
+              query_grid_fn: Callable | None = None) -> SurfaceMaps:
+    """Dense first-crossing march: res^2 frontal rays x res z-taps (the
+    full coarse lattice) -> SurfaceMaps with depth in res-voxel units.
+
+    This is the volume-free replacement for the coarse hierarchy +
+    depth_peel pair on the real-time path: its crossing equals the dense
+    res^3 depth peel EXACTLY (same lattice, same interpolation), but no 3D
+    volume, band compaction or write-back is ever materialized — on TPU
+    those layout ops cost more than the extra MLP taps (measured r3 stage
+    ledger: 12.0 ms hierarchy vs ~3 ms of equivalent ray-kernel taps;
+    DESIGN.md). Frontal ("front" direction) only, like the ray-structured
+    query it feeds (monoport_net.py:110-112).
+    """
+    b_min = jnp.asarray(b_min, jnp.float32)
+    b_max = jnp.asarray(b_max, jnp.float32)
+    step = (b_max - b_min) / (res - 1)
+    a = jnp.arange(res, dtype=jnp.float32)
+    c_taps = jnp.broadcast_to(a, (res, res, res))            # [R, R, T]
+    wz = ((res - 1) - c_taps) * step[2] + b_min[2]
+    xw1 = a * step[0] + b_min[0]
+    yw1 = a * step[1] + b_min[1]
+    if query_grid_fn is not None:
+        vals = query_grid_fn(xw1, yw1, wz).astype(jnp.float32)
+    elif query_taps_fn is not None:
+        xy = jnp.stack([jnp.broadcast_to(xw1[:, None], (res, res)),
+                        jnp.broadcast_to(yw1[None, :], (res, res))],
+                       axis=-1)
+        vals = query_taps_fn(xy.reshape(1, -1, 2), wz.reshape(1, -1, res))
+        vals = vals.reshape(res, res, res).astype(jnp.float32)
+    else:
+        wx = jnp.broadcast_to(xw1[:, None, None], (res, res, res))
+        wy = jnp.broadcast_to(yw1[None, :, None], (res, res, res))
+        pts = jnp.stack([wx, wy, wz], axis=-1).reshape(1, -1, 3)
+        vals = query_fn(pts)[0, :, 0].reshape(res, res, res).astype(
+            jnp.float32)
+    z, hit, v1, v2, c1, c2 = _first_crossing(vals, c_taps, balance_value)
+    z = jnp.where(hit, jnp.clip(z, 0.0, float(res)), 0.0)
+    # normals are not needed at coarse levels (the fine pass recomputes
+    # them); keep the -z viewer-facing placeholder
+    norm = jnp.zeros((res, res, 3), jnp.float32).at[..., 2].set(-1.0)
+    return SurfaceMaps(depth=z, normal=norm, valid=hit)
+
+
+def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
+                taps: int = 6, balance_value: float = 0.5,
+                b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
+                window: int | None = None,
+                query_taps_fn: Callable | None = None,
+                query_grid_fn: Callable | None = None) -> SurfaceMaps:
+    """Volume-free coarse-to-fine surface localization, all per-ray:
+    dense march at levels[0], then successive ``refine_from_maps`` passes
+    through the remaining levels and finally ``fine_res`` (with the
+    optional bbox window). Plays the role of hierarchy + depth_peel +
+    ray_refine on the frontal real-time path with zero 3D volume ops."""
+    maps = ray_march(query_fn, levels[0], balance_value, b_min, b_max,
+                     query_taps_fn=query_taps_fn,
+                     query_grid_fn=query_grid_fn)
+    for rc, rl in zip(levels[:-1], levels[1:]):
+        maps = refine_from_maps(query_fn, maps, rc, rl, taps=taps,
+                                balance_value=balance_value,
+                                b_min=b_min, b_max=b_max,
+                                query_taps_fn=query_taps_fn,
+                                query_grid_fn=query_grid_fn)
+    return refine_from_maps(query_fn, maps, levels[-1], fine_res,
+                            taps=taps, balance_value=balance_value,
+                            b_min=b_min, b_max=b_max, window=window,
+                            query_taps_fn=query_taps_fn,
+                            query_grid_fn=query_grid_fn)
 
 
 def _sample_grid(img: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:

@@ -1,16 +1,12 @@
-"""Per-stage on-device cost ledger for the fused frame program.
+"""Sub-profile the tex stage (14.7ms in the r3 ledger): netC ResBlk
+filter vs the 257^2 texture query (colorize) vs visualize.
 
-VERDICT r2 item 1: before buying perf headroom, measure where the frame's
-time actually goes. Times nested prefixes of the frame program (filter ->
-+coarse hierarchy -> +ray refine -> +netC texture -> +composite) with the
-same marginal-rate method as bench.py (N vs 2N frame chains cancel every
-fixed per-invocation cost), so stage cost = prefix(k) - prefix(k-1).
+Prefixes on top of the full shade-stage program:
+  texfilter = shade + netC filter (feat_prior concat included)
+  texquery  = texfilter + colorize query at 257^2 surface points
+  tex       = texquery + visualize  (== the full frame)
 
-Also prints a chip-speed canary (chained 2048^3 bf16 matmul TFLOP/s) so
-any session's numbers are interpretable against shared-chip load
-(DESIGN.md: identical programs measured 28-38 fps across sessions).
-
-Run on TPU:  python scripts/profile_stages.py
+Run on TPU:  python scripts/profile_tex.py
 """
 
 import functools
@@ -28,7 +24,8 @@ from monoport_tpu.utils.compile_cache import enable as _enable_cache
 
 _enable_cache()
 
-from bench import build_frame, canary_tflops, measure_fps  # noqa: E402
+from bench import build_frame, measure_fps  # noqa: E402
+from scripts.profile_stages import canary_tflops  # noqa: E402
 
 
 def main():
@@ -37,8 +34,6 @@ def main():
     from monoport_tpu.recon.depth_peel import colorize, shade_normal, visualize
     from monoport_tpu.recon.ray_refine import ray_refine
 
-    # Re-derive the stage-gated variant of bench.build_frame's frame_impl.
-    # Each stage returns something chainable (f32 scalar-ish reduction).
     def _analytic(pts):
         center = jnp.asarray([0.0, -0.1, 0.0])
         radii = jnp.asarray([0.35, 0.8, 0.25])
@@ -51,8 +46,6 @@ def main():
         image_g = engine._cast(image_g)
         feats_g = engine.netG.apply(params_g, image_g, method="filter")
         feats_g = engine._feats_f32(feats_g)
-        if stage == "filter":
-            return feats_g[-1][-1].astype(jnp.float32).sum()
         head_g = engine._head_fn(engine.netG, params_g)
 
         def query_occ(pts):
@@ -60,10 +53,6 @@ def main():
                                      method="query", head_fn=head_g)[0]
             analytic = _analytic(pts)[..., None]
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
-
-        vol, _counts = engine.recon(query_occ, return_counts=True)
-        if stage == "coarse":
-            return vol.astype(jnp.float32).sum()
 
         qt = engine._query_taps_fn(engine.netG, params_g, feats_g, calib)
 
@@ -76,19 +65,19 @@ def main():
             analytic = _analytic(pts)
             return jnp.where(pred > -1.0, analytic.astype(pred.dtype), pred)
 
+        vol, _ = engine.recon(query_occ, return_counts=True)
         maps = ray_refine(query_occ, vol, engine.fine_res,
                           taps=engine.ray_taps, window=engine.ray_window,
                           query_taps_fn=query_taps_occ)
-        if stage == "ray":
-            return maps.depth.sum() + maps.valid.astype(jnp.float32).sum()
-        render_norm, mask = visualize(shade_normal(maps), engine.render_size)
-        if stage == "shade":
-            return render_norm.astype(jnp.float32).sum()
+        render_norm, _ = visualize(shade_normal(maps), engine.render_size)
 
         feat_prior = feats_g[-1][-1]
         feats_c = engine.netC.apply(params_c, image_g, feat_prior,
                                     method="filter")
         feats_c = engine._feats_f32(feats_c)
+        if stage == "texfilter":
+            return (feats_c[-1][-1].astype(jnp.float32).sum()
+                    + render_norm.astype(jnp.float32).sum())
         head_c = engine._head_fn(engine.netC, params_c)
 
         def query_color(pts):
@@ -96,24 +85,24 @@ def main():
                                      method="query", head_fn=head_c)[0]
 
         tex_canvas = colorize(maps, query_color, engine.fine_res)
-        render_tex, mask_tex = visualize(tex_canvas, engine.render_size)
+        if stage == "texquery":
+            return (tex_canvas.astype(jnp.float32).sum()
+                    + render_norm.astype(jnp.float32).sum())
+        render_tex, _ = visualize(tex_canvas, engine.render_size)
         return (render_tex.astype(jnp.float32).sum()
                 + render_norm.astype(jnp.float32).sum())
 
     @functools.partial(jax.jit, static_argnames=("n", "stage"))
     def loop(params_g, params_c, img, n, stage):
         def body(_, img):
-            s = staged(params_g, params_c, img, stage)
-            return img + s * 1e-12
+            return img + staged(params_g, params_c, img, stage) * 1e-12
         return jax.lax.fori_loop(0, n, body, img)
 
     print(json.dumps({"canary_tflops_bf16": round(canary_tflops(), 1)}),
           flush=True)
-
     iters = 60
-    stages = ["filter", "coarse", "ray", "shade", "tex"]
     ms = {}
-    for stage in stages:
+    for stage in ("texfilter", "texquery", "tex"):
         for n in (iters, 2 * iters):
             out = loop(params_g, params_c, image, n, stage)
             _ = np.asarray(out[0, 0, 0, 0])
@@ -126,19 +115,12 @@ def main():
         ms[stage] = 1000.0 / fps
         print(json.dumps({"prefix": stage,
                           "ms_per_frame": round(1000.0 / fps, 2),
-                          "fps": round(fps, 1),
-                          "fps_incl_overhead": round(fps_lower, 1)}),
-              flush=True)
-
-    ledger = {}
-    prev = 0.0
-    for stage in stages:
-        ledger[stage] = round(ms[stage] - prev, 2)
-        prev = ms[stage]
-    print(json.dumps({"stage_ms": ledger,
-                      "total_ms": round(ms[stages[-1]], 2),
-                      "canary_tflops_bf16": round(canary_tflops(), 1)}),
-          flush=True)
+                          "fps": round(fps, 1)}), flush=True)
+    print(json.dumps({
+        "netc_filter_ms": round(ms["texfilter"], 2),
+        "colorize_ms": round(ms["texquery"] - ms["texfilter"], 2),
+        "visualize_ms": round(ms["tex"] - ms["texquery"], 2),
+        "canary_tflops_bf16": round(canary_tflops(), 1)}), flush=True)
 
 
 if __name__ == "__main__":

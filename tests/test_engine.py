@@ -102,6 +102,34 @@ def test_engine_pallas_head_equivalence(setup):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_engine_march_mode(setup):
+    """march_levels: frontal frames run the volume-free pyramid (no sdf in
+    the output); rotated calibs fall back to the hierarchy path."""
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.render.camera import orbit_extrinsic
+
+    netG, netC, params_g, params_c, image, calib = setup
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    eng = ReconEngine(netG, netC, recon=recon, render_size=32, mode="ray",
+                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    out = eng.frame(params_g, image, params_c, image, calib)
+    assert "sdf" not in out and "recon_counts" not in out
+    assert out["depth"].shape == (33, 33)
+    assert out["render_norm"].shape == (32, 32, 3)
+    assert out["render_tex"].shape == (32, 32, 3)
+
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 15.0),
+                                 np.eye(4, dtype=np.float32)))
+    out_rot = eng.frame(params_g, image, calib=rot)
+    assert "sdf" in out_rot  # hierarchy fallback ran
+
+    # frames(): the batched path takes the same gate
+    images = jnp.tile(image[0][None], (2, 1, 1, 1))
+    outs = eng.frames(params_g, images)
+    assert "sdf" not in outs
+    assert outs["depth"].shape == (2, 33, 33)
+
+
 def test_engine_batched_frames(setup):
     netG, netC, params_g, params_c, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))

@@ -1,0 +1,126 @@
+"""Gather-free separable grid sampling (ops/sampling.index_grid,
+MonoPortNet.query_taps_grid, engine use_grid path): exact equivalence with
+the gather-based paths it replaces on the frontal fast path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monoport_tpu.config import CN
+from monoport_tpu.engine import ReconEngine
+from monoport_tpu.models import MonoPortNet
+from monoport_tpu.ops.sampling import index, index_grid
+from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+
+def test_index_grid_matches_index():
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(2, 16, 24, 8).astype(np.float32))
+    # include partially- and fully-outside positions: the hat-function
+    # rows must reproduce index()'s per-tap zeros padding exactly
+    u = jnp.asarray(rng.uniform(-1.4, 1.4, (2, 7)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-1.4, 1.4, (2, 5)).astype(np.float32))
+    got = index_grid(feat, u, v)
+    assert got.shape == (2, 7, 5, 8)
+    for b in range(2):
+        uu, vv = jnp.meshgrid(u[b], v[b], indexing="ij")
+        uv = jnp.stack([uu.ravel(), vv.ravel()], -1)[None]
+        want = index(feat[b:b + 1], uv)[0].reshape(7, 5, 8)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                   atol=1e-6)
+
+
+def _netG():
+    g = CN()
+    g.projection = "orthogonal"
+    g.backbone = CN({"IMF": "PIFuHGFilters", "num_stack": 1,
+                     "num_hourglass": 1, "hourglass_dim": 64,
+                     "norm": "group", "hg_down": "ave_pool"})
+    g.normalizer = CN({"IMF": "PIFuNomalizer"})
+    g.head = CN({"IMF": "PIFuNetGMLP"})
+    g.loss = CN({"IMF": "MSE"})
+    return MonoPortNet(g)
+
+
+def test_query_taps_grid_matches_query_taps():
+    """Grid query == flattened taps query, including a calib with scale,
+    translation and a z-row that mixes x/y (allowed: only the image rows
+    must be diagonal and z-free)."""
+    net = _netG()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    calib = jnp.asarray(np.diag([1.1, 0.9, 1.05, 1.0]).astype(np.float32))
+    calib = calib.at[0, 3].set(0.05).at[1, 3].set(-0.03) \
+        .at[2, 0].set(0.02).at[2, 3].set(0.01)[None]
+    params = net.init(jax.random.PRNGKey(0), image, jnp.zeros((1, 8, 3)),
+                      calib)
+    feats = net.apply(params, image, method="filter")
+    xw = jnp.asarray(rng.uniform(-1, 1, (1, 9)).astype(np.float32))
+    yw = jnp.asarray(rng.uniform(-1, 1, (1, 6)).astype(np.float32))
+    zw = jnp.asarray(rng.uniform(-1, 1, (1, 9, 6, 4)).astype(np.float32))
+    got = net.apply(params, feats, xw, yw, zw, calib,
+                    method="query_taps_grid")
+    xx, yy = jnp.meshgrid(xw[0], yw[0], indexing="ij")
+    xy = jnp.stack([xx.ravel(), yy.ravel()], -1)[None]
+    want = net.apply(params, feats, xy, zw.reshape(1, 54, 4), calib,
+                     method="query_taps")
+    np.testing.assert_allclose(np.asarray(got.reshape(1, 54, 4, 1)),
+                               np.asarray(want), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    netG = _netG()
+    c = CN()
+    c.projection = "orthogonal"
+    c.backbone = CN({"IMF": "PIFuResBlkFilters"})
+    c.normalizer = CN({"IMF": "PIFuNomalizer"})
+    c.head = CN({"IMF": "PIFuNetCMLP"})
+    c.loss = CN({"IMF": "L1"})
+    netC = MonoPortNet(c)
+    rng = np.random.RandomState(1)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 8, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
+                         feat_prior=jnp.zeros((1, 32, 32, 64)))
+    return netG, netC, params_g, params_c, image, calib
+
+
+def test_engine_grid_path_equivalence(engine_setup):
+    """use_grid on vs off: same frame outputs (march pyramid + texture)."""
+    netG, netC, params_g, params_c, image, calib = engine_setup
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    eng = ReconEngine(netG, netC, recon=recon, render_size=32, mode="ray",
+                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    assert eng._calib_grid_ok(calib)
+    out_grid = eng._frame(params_g, params_c, image, image, calib,
+                          use_taps=True, use_grid=True)
+    out_taps = eng._frame(params_g, params_c, image, image, calib,
+                          use_taps=True, use_grid=False)
+    # a random-init net outputs occupancy ~0.5 everywhere, so last-bit
+    # reassociation (matmul vs gather sum order) can flip the `> 0.5`
+    # test on a handful of knife-edge rays; require near-total agreement
+    # rather than bitwise equality
+    for key in ("depth", "render_norm", "render_tex"):
+        a = np.asarray(out_grid[key], np.float64)
+        b = np.asarray(out_taps[key], np.float64)
+        frac = (np.abs(a - b) > 2e-5).mean()
+        assert frac < 0.005, (key, frac)
+    va = np.asarray(out_grid["valid"])
+    vb = np.asarray(out_taps["valid"])
+    assert (va != vb).mean() < 0.005
+
+
+def test_grid_gate_rejects_rotated_image_rows(engine_setup):
+    netG, netC, params_g, params_c, image, calib = engine_setup
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    eng = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=33)
+    rot = np.eye(4, dtype=np.float32)
+    rot[0, 1] = 0.3  # in-plane rotation term: grid invalid, taps still ok
+    rot = jnp.asarray(rot)[None]
+    assert eng._calib_taps_ok(rot)
+    assert not eng._calib_grid_ok(rot)

@@ -91,6 +91,58 @@ def test_production_profile_thin_limbs(oracle):
         assert recall > 0.8, (recall, (mx, my))
 
 
+def test_march_pyramid_thin_limbs(oracle):
+    """The volume-free ray-march pyramid (recon/ray_refine.ray_pyramid —
+    the r3 real-time path) must match or beat the hierarchy path on the
+    same thin-limb scene. Gates set from the measured values (IOU 0.986,
+    missed 1.03%, med 0.175, p95 0.510) with small margins."""
+    from monoport_tpu.recon.ray_refine import ray_pyramid
+
+    maps = ray_pyramid(query_fn, 257, levels=(33, 65), taps=6, window=192)
+    got_v = np.asarray(maps.valid) > 0.5
+    want_v = np.asarray(oracle.valid) > 0.5
+    iou = (got_v & want_v).sum() / (got_v | want_v).sum()
+    missed = (~got_v & want_v).sum() / want_v.sum()
+    both = got_v & want_v
+    err = np.abs(np.asarray(maps.depth) - np.asarray(oracle.depth))[both]
+
+    assert iou > 0.98, iou
+    assert missed < 0.015, missed
+    assert np.median(err) < 0.3, np.median(err)
+    assert np.percentile(err, 95) < 0.8, np.percentile(err, 95)
+
+    # thin-arm recall, as in the hierarchy-path gate above
+    for (ax_, ay, _), (bx, by_, _), _r in [CAPS[2], CAPS[3]]:
+        mx, my = (ax_ + bx) / 2, (ay + by_) / 2
+        ix = int((mx + 1) / 2 * 256)
+        iy = int((my + 1) / 2 * 256)
+        box_got = got_v[ix - 8:ix + 8, iy - 8:iy + 8]
+        box_want = want_v[ix - 8:ix + 8, iy - 8:iy + 8]
+        recall = (box_got & box_want).sum() / box_want.sum()
+        assert recall > 0.8, (recall, (mx, my))
+
+
+def test_march_equals_dense_peel():
+    """ray_march's crossing math equals the dense depth peel on the same
+    lattice (same samples, same interpolation form) — the exactness claim
+    in its docstring."""
+    from monoport_tpu.recon.ray_refine import ray_march
+
+    res = 65
+    ax = jnp.linspace(-1, 1, res)
+    zz, yy, xx = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    vol = occupancy(jnp.stack([xx, yy, zz], -1))
+    peel = depth_peel(vol, "front", 0.5)
+    march = ray_march(query_fn, res)
+    np.testing.assert_array_equal(np.asarray(march.valid),
+                                  np.asarray(peel.valid))
+    both = np.asarray(peel.valid)
+    d = np.abs(np.asarray(march.depth) - np.asarray(peel.depth))[both]
+    # peel interpolates between c1 and c1-2; march between c1 and c1-1 —
+    # same form, half the span, so crossings agree to well under a voxel
+    assert d.max() < 0.5, d.max()
+
+
 def test_silhouette_tightening_vs_coarse(oracle):
     """The tap-verified silhouette must beat the raw coarse upsample —
     the regression guard for the weighted-upsample + hit-tightening pair."""
