@@ -254,6 +254,85 @@ def build_frame():
     return frame_impl, params_g, params_c, image, calib, engine
 
 
+def _build_real():
+    """Trained-weights engine + params for the real-model benches; None if
+    the committed checkpoint is absent."""
+    import os
+
+    ckpt = os.path.join(os.path.dirname(__file__), "monoport_tpu", "data",
+                        "netg_capsule.npz")
+    if not os.path.exists(ckpt):
+        return None
+    from monoport_tpu import get_cfg_defaults
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+    from monoport_tpu.utils.params_io import load_params
+
+    cfg = get_cfg_defaults()
+    netG = MonoPortNet(cfg.netG)
+    params_g = {"params": load_params(ckpt)[0]}
+    ckpt_c = os.path.join(os.path.dirname(ckpt), "netc_capsule.npz")
+    netC, params_c = None, None
+    if os.path.exists(ckpt_c):   # trained color net: full textured path
+        netC = MonoPortNet(cfg.netC)
+        params_c = {"params": load_params(ckpt_c)[0]}
+    recon = HierarchicalRecon(resolutions=(17, 33, 65),
+                              budgets=(0, 4096, 16384),
+                              select="uncertain")
+    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
+                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
+                         compute_dtype=jnp.bfloat16, use_pallas=True,
+                         march_levels=_MARCH_LEVELS if _MARCH else None)
+    return netG, params_g, netC, params_c, engine
+
+
+def bench_frames(real, single_fps: float, clip: int = 8, iters: int = 8):
+    """Batched video mode (BASELINE config #4: recon over 8-frame clips):
+    engine.frames processes a [B, 512, 512, 3] clip in one vmapped
+    program. Reports clip throughput in frames/s and the speedup over
+    the measured single-frame rate — the batch dimension is where MXU
+    utilization shows at batch-1-starved layer sizes."""
+    import functools as ft
+
+    from monoport_tpu.training.datasets.capsule import (render_front,
+                                                        skeleton3d)
+
+    netG, params_g, netC, params_c, engine = real
+    keys = jax.random.split(jax.random.PRNGKey(2024), clip)
+    images = jnp.stack([render_front(skeleton3d(k), 512)[0] for k in keys])
+    calibs = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None, None],
+                      (clip, 1, 1, 1))
+    imgs = images[:, None]                              # [B, 1, H, W, 3]
+
+    vmapped = jax.vmap(
+        ft.partial(engine._frame_impl, use_taps=True, use_grid=True),
+        in_axes=(None, None, 0, 0 if netC is not None else None, 0))
+
+    @ft.partial(jax.jit, static_argnames=("n",))
+    def loop(params_g, params_c, imgs, n):
+        def body(_, imgs):
+            out = vmapped(params_g, params_c, imgs,
+                          imgs if netC is not None else None, calibs)
+            return imgs + out["mask"].astype(jnp.float32).sum() * 1e-12
+        return jax.lax.fori_loop(0, n, body, imgs)
+
+    for n in (iters, 2 * iters):
+        _ = np.asarray(loop(params_g, params_c, imgs, n)[0, 0, 0, 0, 0])
+
+    def run_n(n):
+        _ = np.asarray(loop(params_g, params_c, imgs, n)[0, 0, 0, 0, 0])
+
+    clip_rate, clip_lower = measure_fps(run_n, iters)
+    fps = clip_rate * clip
+    return {
+        "frames_mode_clip": clip,
+        "frames_mode_fps": round(fps, 2),
+        "frames_mode_speedup_vs_single": round(fps / single_fps, 2)
+        if single_fps else None,
+    }
+
+
 def bench_real(iters: int = 60):
     # 60 on-device frames (~2s): the tunnel's fetch RTT (~0.5-1s, run-to-
     # run noisy) is subtracted from the measured wall time, so short loops
@@ -267,41 +346,21 @@ def bench_real(iters: int = 60):
     quality). Returns {} if the checkpoint is absent."""
     import os
 
-    ckpt = os.path.join(os.path.dirname(__file__), "monoport_tpu", "data",
-                        "netg_capsule.npz")
-    if not os.path.exists(ckpt) or os.environ.get("BENCH_REAL") == "0":
+    real = _build_real()
+    if real is None or os.environ.get("BENCH_REAL") == "0":
         return {}
+    netG, params_g, netC, params_c, engine = real
+    recon = engine.recon
 
-    from monoport_tpu import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
-    from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.depth_peel import depth_peel
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
     from monoport_tpu.training.datasets.capsule import (capsule_occupancy,
                                                         render_front,
                                                         skeleton3d)
-    from monoport_tpu.utils.params_io import load_params
-
-    cfg = get_cfg_defaults()
-    netG = MonoPortNet(cfg.netG)
-    params_g = {"params": load_params(ckpt)[0]}
-    ckpt_c = os.path.join(os.path.dirname(ckpt), "netc_capsule.npz")
-    netC, params_c = None, None
-    if os.path.exists(ckpt_c):   # trained color net: full textured path
-        netC = MonoPortNet(cfg.netC)
-        params_c = {"params": load_params(ckpt_c)[0]}
 
     caps = skeleton3d(jax.random.PRNGKey(31337))   # held-out body
     image = render_front(caps, 512)[0][None]
     calib = jnp.eye(4, dtype=jnp.float32)[None]
-
-    recon = HierarchicalRecon(resolutions=(17, 33, 65),
-                              budgets=(0, 4096, 16384),
-                              select="uncertain")
-    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
-                         compute_dtype=jnp.bfloat16, use_pallas=True,
-                         march_levels=_MARCH_LEVELS if _MARCH else None)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(params_g, params_c, img, n):
@@ -363,6 +422,23 @@ def bench_real(iters: int = 60):
         gt_sil = occ if gt_sil is None else (gt_sil | occ)
     iou_gt = float((got_v & gt_sil).sum() / max((got_v | gt_sil).sum(), 1))
 
+    # texture quality: netC's rendered color vs the renderer's known
+    # shading model at the reconstructed surface (VERDICT r2 item 6;
+    # reference colorization contract RTL/main.py:229-249)
+    tex_psnr, tex_mae = None, None
+    if netC is not None and "render_tex" in maps:
+        from monoport_tpu.recon.depth_peel import visualize
+        from monoport_tpu.training.datasets.capsule import gt_texture_canvas
+        from monoport_tpu.training.metrics import masked_psnr
+
+        gt_canvas = gt_texture_canvas(jnp.asarray(maps["depth"]),
+                                      jnp.asarray(maps["valid"]), 257)
+        gt_vis, _ = visualize(gt_canvas, engine.render_size)
+        m = np.asarray(maps["mask"])
+        m = (m[..., 0] if m.ndim == 3 else m) > 0.5
+        tex_psnr, tex_mae = masked_psnr(np.asarray(maps["render_tex"]),
+                                        np.asarray(gt_vis), m)
+
     out = {
         "real_fps": round(fps, 2),
         "real_fps_incl_tunnel_overhead": round(fps_lower, 2),
@@ -370,6 +446,9 @@ def bench_real(iters: int = 60):
         "real_depth_err_med_voxels": round(float(np.median(err)), 3),
         "real_model_vs_gt_iou": round(iou_gt, 4),
     }
+    if tex_psnr is not None:
+        out["real_tex_psnr_db"] = round(tex_psnr, 2)
+        out["real_tex_mae"] = round(tex_mae, 4)
     if not _MARCH:
         out["real_band_counts"] = np.asarray(counts).tolist()
     return out
@@ -423,6 +502,10 @@ def main():
                 c > b for c, b in zip(counts, budgets)),
         })
     result.update(bench_real())  # trained-weights path (no analytic swap)
+    if os.environ.get("BENCH_FRAMES", "1") == "1" and "real_fps" in result:
+        real = _build_real()
+        if real is not None:
+            result.update(bench_frames(real, result["real_fps"]))
     result["canary_tflops_bf16"] = round(canary_tflops(), 1)
     print(json.dumps(result))
 

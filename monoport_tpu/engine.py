@@ -62,11 +62,11 @@ class ReconEngine:
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
         all-gathers the tiny occupancy outputs over ICI). The TPU analog
-        of SURVEY §5.7's long-axis scaling. Pallas heads are single-chip:
-        mesh forces the identical-math XLA paths."""
+        of SURVEY §5.7's long-axis scaling. Pallas heads stay enabled
+        under a mesh: they are pure maps over rays/points, so each one is
+        wrapped in shard_map over 'points' (_shard_map_head) and runs
+        per-chip while XLA manages the surrounding collectives."""
         assert mode in ("dense", "ray")
-        assert not (use_pallas and mesh is not None), \
-            "Pallas kernels are single-chip; mesh mode uses the XLA paths"
         self.netG = netG
         self.netC = netC
         self.recon = recon or HierarchicalRecon()
@@ -153,9 +153,47 @@ class ReconEngine:
         dtype = self.compute_dtype
         packed = pack_mlp_params(params["params"]["surface_classifier"],
                                  chans, dtype)
-        return functools.partial(apply_packed, packed, last_op=last_op,
-                                 compute_dtype=dtype,
-                                 interpret=self.pallas_interpret)
+        return self._shard_map_head(
+            functools.partial(apply_packed, packed, last_op=last_op,
+                              compute_dtype=dtype,
+                              interpret=self.pallas_interpret))
+
+    def _shard_map_head(self, head):
+        """Wrap a per-point/per-ray head (arrays [B, R, ...] -> [B, R, ...],
+        pure map over axis 1) in shard_map over the mesh 'points' axis,
+        padding R up to the shard count. This keeps the Pallas kernels in
+        mesh mode (they run per-chip on their ray slice; the map is
+        communication-free, so no collectives are needed inside)."""
+        if self.mesh is None or "points" not in self.mesh.axis_names \
+                or self.mesh.shape["points"] == 1:
+            return head
+        import functools as ft
+
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+            shard_map = ft.partial(shard_map, check_vma=False)
+        except ImportError:  # pre-0.9 location
+            from jax.experimental.shard_map import shard_map
+            shard_map = ft.partial(shard_map, check_rep=False)
+        mesh = self.mesh
+        n = mesh.shape["points"]
+
+        def wrapped(*arrays):
+            r = arrays[0].shape[1]
+            rp = -(-r // n) * n
+            padded = tuple(
+                jnp.pad(a, ((0, 0), (0, rp - r)) + ((0, 0),) * (a.ndim - 2))
+                for a in arrays)
+            # vma/rep checking is off: pallas_call's out_shape carries no
+            # varying-mesh-axis annotation, and the head is a pure per-ray
+            # map so the check adds nothing here
+            fn = shard_map(lambda *xs: head(*xs), mesh=mesh,
+                           in_specs=tuple(P(None, "points") for _ in padded),
+                           out_specs=P(None, "points"))
+            return fn(*padded)[:, :r]
+
+        return wrapped
 
     def _ray_head(self, net: MonoPortNet, params: Any):
         """Packed ray-structured head (shared z-splitting MLP kernel) for
@@ -180,11 +218,13 @@ class ReconEngine:
         packed = pack_ray_mlp_params(params["params"]["surface_classifier"],
                                      dtype=dtype)
         if self.use_pallas:
-            return functools.partial(apply_ray_packed, packed,
+            head = functools.partial(apply_ray_packed, packed,
                                      last_op=last_op, compute_dtype=dtype,
                                      interpret=self.pallas_interpret)
-        return functools.partial(apply_ray_xla, packed,
-                                 last_op=last_op, compute_dtype=dtype)
+        else:
+            head = functools.partial(apply_ray_xla, packed,
+                                     last_op=last_op, compute_dtype=dtype)
+        return self._shard_map_head(head)
 
     def _query_taps_fn(self, net: MonoPortNet, params: Any, feats, calib):
         """Ray-structured occupancy query for the fine pass, or None when

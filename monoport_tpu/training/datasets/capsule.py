@@ -167,6 +167,22 @@ def sample_points(key, caps, n: int, sigma: float = 0.05):
     return pts, labels[:, None]
 
 
+def gt_texture_canvas(depth, valid, resolution: int, base_color=None):
+    """Ground-truth texture canvas for an engine ray-map pair: GT surface
+    colors (the shading model render_front painted) evaluated at the
+    reconstructed surface points, white background — directly comparable
+    to the engine's tex canvas/render_tex. Voxel->world mapping matches
+    depth_peel.surface_world_points (RTL/main.py:204-210)."""
+    r = resolution
+    sr = 2.0 / r
+    a = jnp.arange(r, dtype=jnp.float32) * sr - 1.0
+    pts = jnp.stack([jnp.broadcast_to(a[:, None], (r, r)),
+                     jnp.broadcast_to(a[None, :], (r, r)),
+                     (float(r) - depth) * sr - 1.0], -1)
+    gt = surface_color(pts, base_color) * 0.5 + 0.5
+    return jnp.where(valid[..., None], gt, 1.0)
+
+
 def synth_item(key, size: int, n_points: int):
     """-> dict(image [S,S,3], points [N,3], labels [N,1], calib [4,4])."""
     k_skel, k_pts = jax.random.split(key)

@@ -47,3 +47,36 @@ def test_engine_mesh_matches_single_device():
     assert ("all-gather" in txt or "all-reduce" in txt
             or "collective-permute" in txt), \
         "no collectives in the compiled frame => nothing was sharded"
+
+
+def test_engine_mesh_keeps_pallas():
+    """VERDICT r2 item 4: mesh mode must no longer forfeit the Pallas
+    kernels. The heads are shard_map'ed over 'points'
+    (engine._shard_map_head) and must reproduce the single-device Pallas
+    output (interpret mode on CPU)."""
+    from tests.test_engine import _nets
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
+              ray_taps=4, use_pallas=True, pallas_interpret=True)
+    single = ReconEngine(netG, netC, **kw)
+    mesh = make_mesh(len(jax.devices()))
+    # 'points' axis spans >1 device so the shard_map wrapper is active
+    assert mesh.shape["points"] > 1
+    sharded = ReconEngine(netG, netC, mesh=mesh, **kw)
+
+    out_s = single.frame(params_g, image, params_c, image, calib)
+    out_m = sharded.frame(params_g, image, params_c, image, calib)
+    for key in ("depth", "render_norm", "render_tex", "mask"):
+        np.testing.assert_allclose(np.asarray(out_m[key]),
+                                   np.asarray(out_s[key]),
+                                   atol=1e-5, err_msg=key)

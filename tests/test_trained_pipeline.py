@@ -58,21 +58,27 @@ def test_trained_engine_reconstructs(nets):
     gt_sil = np.asarray(occ.any(axis=0))
     got = np.asarray(out["valid"]) > 0.5
     iou = (got & gt_sil).sum() / (got | gt_sil).sum()
-    assert iou > 0.5, iou   # trained-model quality gate (not path parity)
+    # trained-model quality gate (not path parity): measured 0.743 at this
+    # reduced profile with the committed r2 weights — the gate locks in
+    # most of that so a visibly broken model cannot ship green
+    assert iou > 0.65, iou
 
-    # texture: predicted color near the GT shading model on valid pixels
+    # texture quality: PSNR of the rendered color vs the renderer's known
+    # shading model at the reconstructed surface (a broken netC measures
+    # ~10-15 dB; the committed weights measure 27.9 dB)
+    from monoport_tpu.recon.depth_peel import visualize
+    from monoport_tpu.training.datasets.capsule import gt_texture_canvas
+    from monoport_tpu.training.metrics import masked_psnr
+
     tex = np.asarray(out["render_tex"])     # display space [0, 1]
     mask = np.asarray(out["mask"])
     mask = (mask[..., 0] if mask.ndim == 3 else mask) > 0.5
     assert mask.sum() > 200
-    # the GT shading model (capsule.surface_color) bounds the achievable
-    # display colors: shade in [0.35, 1] x base (0.8, 0.65, 0.55); the
-    # mean predicted color must land inside and keep the R>G>B ordering
-    mean_col = tex[mask].mean(axis=0)
-    base = np.array([0.8, 0.65, 0.55])
-    assert (mean_col > 0.35 * base - 0.05).all(), mean_col
-    assert (mean_col < base + 0.05).all(), mean_col
-    assert mean_col[0] > mean_col[1] > mean_col[2], mean_col
+    gt_canvas = gt_texture_canvas(jnp.asarray(out["depth"]),
+                                  jnp.asarray(out["valid"]), 129)
+    gt_vis, _ = visualize(gt_canvas, eng.render_size)
+    psnr, mae = masked_psnr(tex, np.asarray(gt_vis), mask)
+    assert psnr > 22.0, (psnr, mae)
 
 
 def test_trained_matting_plus_engine(nets):
