@@ -144,3 +144,24 @@ def test_prt_render_modes():
     # the UV triangle interior is lit, corners outside it are empty
     assert img_uv[16, 16].max() > 0.5
     assert img_uv[0, 0].max() == 0.0
+
+
+def test_committed_floor_prop():
+    """The committed floor prop (monoport_tpu/data/floor, the analog of
+    the reference's RTL/floor OBJ+JPG sets) loads by default and renders
+    through the Albedo path with its wood texture."""
+    import numpy as np
+    from monoport_tpu.pipeline.scene import MonoPortScene
+
+    scene = MonoPortScene(size=(64, 64))
+    assert scene.vert_data.shape[0] >= 36   # plank grid, not the quad
+    assert scene.texture_image.dtype == np.uint8  # loaded from jpg
+    ext, intr = scene.update_camera()
+    img = np.asarray(scene.render(ext, intr))
+    floor = img.sum(-1) > 0.01
+    assert floor.sum() > 500
+    mean = img[floor].mean(0)
+    assert mean[0] > mean[1] > mean[2]      # warm wood tones
+    scene.shift_floor()
+    img2 = np.asarray(scene.render(ext, intr))
+    assert np.abs(img2 - img).max() > 0.01  # hotkey 'g' changes the look
