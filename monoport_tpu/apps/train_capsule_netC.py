@@ -39,6 +39,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--points", type=int, default=4096)
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--hard", type=int, default=1,
+                        help="match netG's r3 curriculum: clothed bodies "
+                        "+ textured appearance (netC must read color "
+                        "from the image, not memorize the shading)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--netg", default="monoport_tpu/data/netg_capsule.npz")
@@ -63,13 +67,24 @@ def main(argv=None):
             args.lr, args.steps, alpha=0.05)))
 
     def make_item(key):
-        k_skel, k_base, k_pts = jax.random.split(key, 3)
-        caps = skeleton3d(k_skel)
-        base = jnp.asarray([0.8, 0.65, 0.55]) * jax.random.uniform(
-            k_base, (3,), minval=0.7, maxval=1.2)
-        image, _ = render_front(caps, args.size, base_color=base)
-        pts = sample_surface_points(k_pts, caps, args.points)
-        colors = surface_color(pts, base_color=base)
+        k_skel, k_base, k_pts, k_cloth = jax.random.split(key, 4)
+        if args.hard:
+            from ..training.datasets.capsule import (clothe,
+                                                     sample_appearance)
+            caps = clothe(k_cloth, skeleton3d(
+                k_skel, scale_range=(0.45, 1.0), pose_spread=1.35,
+                z_spread=0.35), amp=(0.0, 0.30))
+            app = sample_appearance(k_base)
+            image, _ = render_front(caps, args.size, appearance=app)
+            pts = sample_surface_points(k_pts, caps, args.points)
+            colors = surface_color(pts, appearance=app)
+        else:
+            caps = skeleton3d(k_skel)
+            base = jnp.asarray([0.8, 0.65, 0.55]) * jax.random.uniform(
+                k_base, (3,), minval=0.7, maxval=1.2)
+            image, _ = render_front(caps, args.size, base_color=base)
+            pts = sample_surface_points(k_pts, caps, args.points)
+            colors = surface_color(pts, base_color=base)
         return image, pts, colors
 
     def make_batch(key):

@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--points", type=int, default=4096)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--hard", type=int, default=1,
+                        help="r3 curriculum: wider scales, harder poses, "
+                        "clothing displacement, textured appearance "
+                        "(VERDICT r2 item 2); the plain look stays in "
+                        "distribution")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--init_from", default=None,
@@ -59,7 +64,8 @@ def main(argv=None):
     # jit both: eager op-by-op init costs ~0.5s/dispatch on the tunneled
     # backend (thousands of ops for the 4-stack hourglass — see DESIGN.md)
     ex = jax.jit(functools.partial(synth_train_batch, batch=args.batch,
-                                   size=args.size, n_points=args.points))(
+                                   size=args.size, n_points=args.points,
+                                   hard=bool(args.hard)))(
         jax.random.PRNGKey(1))
     variables = jax.jit(functools.partial(net.init, train=True))(
         k_init, ex["images"], ex["points"], ex["calibs"],
@@ -84,7 +90,8 @@ def main(argv=None):
 
     def step(carry, k):
         params, opt_state = carry
-        batch = synth_train_batch(k, args.batch, args.size, args.points)
+        batch = synth_train_batch(k, args.batch, args.size, args.points,
+                                  hard=bool(args.hard))
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss

@@ -25,31 +25,40 @@ from ..training.detection import box_iou, make_train_fns, synth_det_batch
 from ..utils.params_io import save_params
 
 
-def evaluate(params, width: int, size: int, key, batch: int = 8):
-    """Held-out eval -> (mean matched-box IOU, false-positive rate)."""
+def evaluate(params, width: int, size: int, key, batch: int = 8,
+             thresh: float = 0.3):
+    """Held-out eval -> dict(mean matched-box IOU, precision, recall,
+    fp_rate) at confidence ``thresh`` (greedy IOU>=0.5 matching)."""
     det = Detection({"params": params["params"]
                      if "params" in params else params}, width=width)
     images, gt_boxes, gt_valid = synth_det_batch(key, batch, size)
     boxes, probs = det(images)
-    ious, fps = [], 0
+    ious, tp, fp, fn = [], 0, 0, 0
     for i in range(batch):
         got = np.asarray(boxes[i])
         p = np.asarray(probs[i])
         want = np.asarray(gt_boxes[i])
         valid = np.asarray(gt_valid[i])
-        conf = p > 0.3
+        conf = list(np.where(p > thresh)[0])
+        matched = set()
         for j in np.where(valid)[0]:
-            cand = [float(np.asarray(box_iou(got[m], want[j])))
-                    for m in np.where(conf)[0]]
-            ious.append(max(cand) if cand else 0.0)
-        # confident detections not matching any GT instance
-        for m in np.where(conf)[0]:
-            cand = [float(np.asarray(box_iou(got[m], want[j])))
-                    for j in np.where(valid)[0]]
-            if not cand or max(cand) < 0.3:
-                fps += 1
-    return (float(np.mean(ious)) if ious else 1.0,
-            fps / max(len(ious), 1))
+            cand = {m: float(np.asarray(box_iou(got[m], want[j])))
+                    for m in conf if m not in matched}
+            best = max(cand, key=cand.get) if cand else None
+            iou = cand[best] if best is not None else 0.0
+            ious.append(iou)
+            if iou >= 0.5:
+                tp += 1
+                matched.add(best)
+            else:
+                fn += 1
+        fp += len([m for m in conf if m not in matched])
+    return {
+        "iou": float(np.mean(ious)) if ious else 1.0,
+        "precision": tp / max(tp + fp, 1),
+        "recall": tp / max(tp + fn, 1),
+        "fp_rate": fp / max(len(ious), 1),
+    }
 
 
 def main(argv=None):
@@ -57,8 +66,13 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--chunk", type=int, default=100,
                         help="steps per device dispatch")
-    parser.add_argument("--size", type=int, default=256)
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--sizes", default="256,512",
+                        help="comma list; chunks alternate between sizes "
+                        "so the size/offset heads see the demo's 512 "
+                        "resolution, not just 256 (ADVICE r2)")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="batch at the smallest size; larger sizes "
+                        "scale it down to keep per-step cost flat")
     parser.add_argument("--width", type=int, default=16)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
@@ -73,28 +87,42 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     net = DetectNet(width=args.width)
-    init_fn, run_fn = make_train_fns(net, args.size, args.batch, args.lr)
+    sizes = [int(s) for s in args.sizes.split(",")]
+    s_min = min(sizes)
+    runs = []
+    init_fn = None
+    for s in sizes:
+        b = max(2, args.batch * s_min * s_min // (s * s))
+        ifn, rfn = make_train_fns(net, s, b, args.lr)
+        init_fn = init_fn or ifn
+        runs.append(jax.jit(rfn, static_argnums=2))
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     state = init_fn(k_init)
-    run = jax.jit(run_fn, static_argnums=2)
 
     t0 = time.time()
     done = 0
+    turn = 0
     while done < args.steps:
         n = min(args.chunk, args.steps - done)
         key, k_run = jax.random.split(key)
+        run = runs[turn % len(runs)]  # alternate sizes per chunk
         state, loss = run(state, k_run, n)
         loss = float(np.asarray(loss))  # materializes the chunk
         done += n
-        print(f"step {done}/{args.steps} mean loss {loss:.4f} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+        turn += 1
+        print(f"step {done}/{args.steps} size {sizes[(turn - 1) % len(sizes)]}"
+              f" mean loss {loss:.4f} ({time.time() - t0:.0f}s)", flush=True)
 
     params = state[0]
-    iou, fp_rate = evaluate(params, args.width, args.size,
-                            jax.random.PRNGKey(args.seed + 10_000))
-    print(f"held-out matched-box IOU @{args.size}: {iou:.4f} "
-          f"(fp rate {fp_rate:.3f})", flush=True)
+    iou = 1.0
+    for s in sizes:
+        m = evaluate(params, args.width, s,
+                     jax.random.PRNGKey(args.seed + 10_000))
+        print(f"held-out @{s}: IOU {m['iou']:.4f} precision "
+              f"{m['precision']:.3f} recall {m['recall']:.3f} "
+              f"fp_rate {m['fp_rate']:.3f}", flush=True)
+        iou = min(iou, m["iou"])
 
     save_params(args.out, params["params"] if "params" in params else params,
                 meta={"width": args.width})

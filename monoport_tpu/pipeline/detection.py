@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 STRIDE = 16
-MAX_DET = 2  # instance slots (matches training/detection.py MAX_PEOPLE)
+MAX_DET = 4  # instance slots (matches training/detection.py MAX_PEOPLE)
 
 
 class _ConvGNRelu(nn.Module):

@@ -30,17 +30,21 @@ import optax
 from ..pipeline.detection import DetectNet, gaussian_heatmap
 from .matting import _capsule_sdf, _skeleton, _texture
 
-MAX_PEOPLE = 2
+MAX_PEOPLE = 4
 
 
 def _person_alpha(key, grid, size: int):
-    """One randomly placed/scaled person -> (alpha [S,S], present flag)."""
+    """One randomly placed/scaled person -> (alpha [S,S], present flag).
+
+    Scale spans 0.25-1.1 (near/far extremes — r3 hardening, VERDICT r2
+    item 7) and placement the full frame width, so instances overlap and
+    occlude each other routinely."""
     k_skel, k_place, k_keep = jax.random.split(key, 3)
     a, b, r = _skeleton(k_skel)
     ks = jax.random.split(k_place, 3)
-    s = jax.random.uniform(ks[0], (), minval=0.45, maxval=1.0)
-    t = jnp.stack([jax.random.uniform(ks[1], (), minval=-0.55, maxval=0.55),
-                   jax.random.uniform(ks[2], (), minval=-0.25, maxval=0.25)])
+    s = jax.random.uniform(ks[0], (), minval=0.25, maxval=1.1)
+    t = jnp.stack([jax.random.uniform(ks[1], (), minval=-0.65, maxval=0.65),
+                   jax.random.uniform(ks[2], (), minval=-0.35, maxval=0.35)])
     a = a * s + t
     b = b * s + t
     r = r * s
@@ -69,29 +73,40 @@ def _alpha_bbox(alpha, thresh: float = 0.5):
 
 def synth_scene(key, size: int):
     """-> (image [S,S,3] in [0,1], boxes [MAX_PEOPLE,4] xyxy px,
-    valid [MAX_PEOPLE] bool). Slot 0 present 90%, slot 1 present 45%."""
-    keys = jax.random.split(key, MAX_PEOPLE + 3)
+    valid [MAX_PEOPLE] bool). 0-4 people (slot presence 90/50/35/25%),
+    round blobs AND person-shaped single-capsule distractors as hard
+    negatives (an articulated human has limbs; a bare capsule does not)."""
+    keys = jax.random.split(key, MAX_PEOPLE + 4)
     ax = jnp.linspace(-1.0, 1.0, size)
     gx, gy = jnp.meshgrid(ax, -ax, indexing="xy")
     grid = jnp.stack([gx, gy], axis=-1)
 
     bg = _texture(keys[0], grid, contrast=1.4)
     kb1, kb2, kb3 = jax.random.split(keys[1], 3)
-    bc = jax.random.uniform(kb1, (3, 2), minval=-0.9, maxval=0.9)
-    br = jax.random.uniform(kb2, (3,), minval=0.08, maxval=0.3)
+    bc = jax.random.uniform(kb1, (5, 2), minval=-0.9, maxval=0.9)
+    br = jax.random.uniform(kb2, (5,), minval=0.06, maxval=0.3)
     bd = jnp.linalg.norm(grid[:, :, None] - bc[None, None], axis=-1) - br
     blob_m = jnp.clip(0.5 - bd.min(-1) * (size / 4.0), 0.0, 1.0)
     bg = bg * (1 - blob_m[..., None]) \
         + _texture(kb3, grid)[..., :3] * blob_m[..., None]
+    # capsule distractors: elongated, person-ish, textured — NOT labeled
+    kd1, kd2, kd3, kd4 = jax.random.split(keys[2], 4)
+    da = jax.random.uniform(kd1, (2, 2), minval=-0.8, maxval=0.8)
+    db = da + jax.random.uniform(kd2, (2, 2), minval=-0.5, maxval=0.5)
+    dr = jax.random.uniform(kd3, (2,), minval=0.04, maxval=0.12)
+    dd = _capsule_sdf(grid, da, db, dr)
+    dist_m = jnp.clip(0.5 - dd * (size / 4.0), 0.0, 1.0)
+    bg = bg * (1 - dist_m[..., None]) \
+        + _texture(kd4, grid)[..., :3] * dist_m[..., None]
 
     img = bg
     boxes, valids = [], []
-    present_p = (0.9, 0.45)
+    present_p = (0.9, 0.5, 0.35, 0.25)
     for i in range(MAX_PEOPLE):
-        alpha, k_keep = _person_alpha(keys[2 + i], grid, size)
+        alpha, k_keep = _person_alpha(keys[3 + i], grid, size)
         present = jax.random.bernoulli(k_keep, present_p[i])
         alpha = alpha * present.astype(alpha.dtype)
-        k_fg = jax.random.fold_in(keys[2 + i], 7)
+        k_fg = jax.random.fold_in(keys[3 + i], 7)
         fg = _texture(k_fg, grid)
         d_shade = 1.0 - alpha  # cheap edge-darkening stand-in
         img = alpha[..., None] * fg * (0.7 + 0.3 * (1 - d_shade[..., None])) \
