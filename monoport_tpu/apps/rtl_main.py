@@ -216,6 +216,8 @@ def build_pipeline(args, cfg, state: FrameState):
         netG, netC, recon=recon, mode=cfg.recon.mode,
         fine_res=cfg.recon.fine_res, ray_taps=cfg.recon.ray_taps,
         ray_window=cfg.recon.ray_window or None,
+        march_levels=(tuple(cfg.recon.march_levels)
+                      if cfg.recon.mode == "ray" else None),
         compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
         use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
     seg = Segmentation.load_default()  # trained MatteNet (box fallback if absent)

@@ -186,6 +186,10 @@ def get_cfg_defaults() -> CfgNode:
     c.recon.fine_res = 257
     c.recon.ray_taps = 6
     c.recon.ray_window = 0            # 0 = full frame; e.g. 192 = bbox window
+    # ray mode only: volume-free march pyramid on frontal frames
+    # (recon/ray_refine.ray_pyramid; [] disables). Rotated views always
+    # fall back to the hierarchy path.
+    c.recon.march_levels = [33, 65]
     # TPU execution
     c.tpu = CN()
     c.tpu.compute_dtype = "bfloat16"
