@@ -93,7 +93,8 @@ def main(argv=None):
     init_fn = None
     for s in sizes:
         b = max(2, args.batch * s_min * s_min // (s * s))
-        ifn, rfn = make_train_fns(net, s, b, args.lr)
+        ifn, rfn = make_train_fns(net, s, b, args.lr,
+                                  total_steps=args.steps)
         init_fn = init_fn or ifn
         runs.append(jax.jit(rfn, static_argnums=2))
     key = jax.random.PRNGKey(args.seed)

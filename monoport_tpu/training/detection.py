@@ -169,9 +169,14 @@ def detection_loss(variables, net: DetectNet, images, gt_boxes, gt_valid):
 # ---------------------------------------------------------------------------
 
 def make_train_fns(net: DetectNet, size: int, batch: int,
-                   learning_rate: float = 1e-3):
-    """-> (init_fn(key) -> state, run_fn(state, key, n_steps))."""
-    tx = optax.adam(learning_rate)
+                   learning_rate: float = 1e-3, total_steps: int = 0):
+    """-> (init_fn(key) -> state, run_fn(state, key, n_steps)).
+
+    total_steps > 0 adds a cosine decay to 5% of the peak lr."""
+    lr = (optax.cosine_decay_schedule(learning_rate, total_steps,
+                                      alpha=0.05)
+          if total_steps else learning_rate)
+    tx = optax.adam(lr)
 
     def init_fn(key):
         img = jnp.zeros((1, size, size, 3))
