@@ -88,7 +88,9 @@ def decode(heat, size, off, stride: int = STRIDE, k: int = MAX_DET):
     """Head outputs -> (boxes [B,k,4] xyxy pixels, probs [B,k]).
 
     Peak = cell that survives a 3x3 max-pool equality test (the standard
-    static-shape NMS surrogate), then top-k by score."""
+    static-shape NMS surrogate), then top-k by score. The size head
+    regresses LOG grid extents (multi-scale friendly: a 0.25x and a 1.1x
+    person get equal relative loss; raw-extent L1 let small boxes drift)."""
     b, g, _, _ = heat.shape
     p = jax.nn.sigmoid(heat[..., 0])                      # [B,G,G]
     pmax = nn.max_pool(p[..., None], (3, 3), strides=(1, 1),
@@ -99,8 +101,8 @@ def decode(heat, size, off, stride: int = STRIDE, k: int = MAX_DET):
     bi = jnp.arange(b)[:, None]
     ox = off[bi, iy, ix, 0]
     oy = off[bi, iy, ix, 1]
-    wg = jnp.maximum(size[bi, iy, ix, 0], 0.0)
-    hg = jnp.maximum(size[bi, iy, ix, 1], 0.0)
+    wg = jnp.exp(jnp.clip(size[bi, iy, ix, 0], -4.0, 4.0))
+    hg = jnp.exp(jnp.clip(size[bi, iy, ix, 1], -4.0, 4.0))
     cx = (ix + 0.5 + ox) * stride
     cy = (iy + 0.5 + oy) * stride
     boxes = jnp.stack([cx - wg * stride / 2, cy - hg * stride / 2,

@@ -158,10 +158,13 @@ def detection_loss(variables, net: DetectNet, images, gt_boxes, gt_valid):
     sz_at = size_p[bi, iy, ix]                                   # [B,K,2]
     off_at = off_p[bi, iy, ix]                                   # [B,K,2]
     v = gt_valid.astype(p.dtype)[..., None]
-    l1_sz = (jnp.abs(sz_at - jnp.stack([w, h], -1)) * v).sum() / n_pos
+    # log-extent targets (decode exponentiates): scale-equalized so the
+    # 0.25x near/far instances train as strongly as the big ones
+    gt_sz = jnp.log(jnp.maximum(jnp.stack([w, h], -1), 0.25))
+    l1_sz = (jnp.abs(sz_at - gt_sz) * v).sum() / n_pos
     gt_off = jnp.stack([cx - (ix + 0.5), cy - (iy + 0.5)], -1)
     l1_off = (jnp.abs(off_at - gt_off) * v).sum() / n_pos
-    return loss_heat + 0.1 * l1_sz + l1_off
+    return loss_heat + 0.5 * l1_sz + l1_off
 
 
 # ---------------------------------------------------------------------------

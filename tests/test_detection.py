@@ -21,7 +21,9 @@ from monoport_tpu.training.detection import (box_iou, detection_loss,
 def test_decode_single_peak():
     g = 8
     heat = jnp.full((1, g, g, 1), -8.0).at[0, 3, 5, 0].set(4.0)
-    size = jnp.zeros((1, g, g, 2)).at[0, 3, 5].set(jnp.asarray([4.0, 6.0]))
+    # size head carries LOG grid extents (decode exponentiates)
+    size = jnp.zeros((1, g, g, 2)).at[0, 3, 5].set(
+        jnp.log(jnp.asarray([4.0, 6.0])))
     off = jnp.zeros((1, g, g, 2)).at[0, 3, 5].set(jnp.asarray([0.25, -0.25]))
     boxes, probs = decode(heat, size, off, stride=16, k=2)
     cx, cy = (5 + 0.5 + 0.25) * 16, (3 + 0.5 - 0.25) * 16
