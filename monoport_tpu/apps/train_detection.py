@@ -26,11 +26,12 @@ from ..utils.params_io import save_params
 
 
 def evaluate(params, width: int, size: int, key, batch: int = 8,
-             thresh: float = 0.3):
+             thresh: float = 0.3, stride: int = 16):
     """Held-out eval -> dict(mean matched-box IOU, precision, recall,
     fp_rate) at confidence ``thresh`` (greedy IOU>=0.5 matching)."""
     det = Detection({"params": params["params"]
-                     if "params" in params else params}, width=width)
+                     if "params" in params else params}, width=width,
+                    stride=stride)
     images, gt_boxes, gt_valid = synth_det_batch(key, batch, size)
     boxes, probs = det(images)
     ious, tp, fp, fn = [], 0, 0, 0
@@ -74,6 +75,9 @@ def main(argv=None):
                         help="batch at the smallest size; larger sizes "
                         "scale it down to keep per-step cost flat")
     parser.add_argument("--width", type=int, default=16)
+    parser.add_argument("--stride", type=int, default=16,
+                        help="output grid pitch; 8 doubles localization "
+                        "resolution (box-IOU ceiling on small people)")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
@@ -86,7 +90,7 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    net = DetectNet(width=args.width)
+    net = DetectNet(width=args.width, stride=args.stride)
     sizes = [int(s) for s in args.sizes.split(",")]
     s_min = min(sizes)
     runs = []
@@ -119,14 +123,15 @@ def main(argv=None):
     iou = 1.0
     for s in sizes:
         m = evaluate(params, args.width, s,
-                     jax.random.PRNGKey(args.seed + 10_000))
+                     jax.random.PRNGKey(args.seed + 10_000),
+                     stride=args.stride)
         print(f"held-out @{s}: IOU {m['iou']:.4f} precision "
               f"{m['precision']:.3f} recall {m['recall']:.3f} "
               f"fp_rate {m['fp_rate']:.3f}", flush=True)
         iou = min(iou, m["iou"])
 
     save_params(args.out, params["params"] if "params" in params else params,
-                meta={"width": args.width})
+                meta={"width": args.width, "stride": args.stride})
     print(f"saved {args.out}", flush=True)
     return iou
 

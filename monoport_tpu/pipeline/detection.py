@@ -40,13 +40,21 @@ class _ConvGNRelu(nn.Module):
 
 class DetectNet(nn.Module):
     """[B,S,S,3] (in [-1,1]) -> (heat [B,G,G,1] logits, size [B,G,G,2]
-    (w,h in grid/stride units), offset [B,G,G,2]), G = S // 16."""
+    (LOG w,h in grid units), offset [B,G,G,2]), G = S // stride.
+
+    stride 8 (3 downsamples) doubles localization resolution over the
+    r2 stride-16 net — the box-IOU ceiling on small instances is set by
+    the output grid pitch (CenterNet runs stride 4)."""
     width: int = 16
+    stride: int = 16
 
     @nn.compact
     def __call__(self, x):
+        import math
         w = self.width
-        for mult in (1, 2, 4, 4):
+        n_down = int(math.log2(self.stride))
+        assert 2 ** n_down == self.stride and 2 <= n_down <= 4
+        for mult in (1, 2, 4, 4)[:n_down]:
             x = _ConvGNRelu(w * mult, stride=2)(x)
             x = _ConvGNRelu(w * mult)(x)
         x = _ConvGNRelu(w * 4)(x)
@@ -117,8 +125,9 @@ class Detection:
     probs [B,MAX_DET])``, sorted by score descending.
     """
 
-    def __init__(self, variables, width: int = 16):
-        self.net = DetectNet(width=width)
+    def __init__(self, variables, width: int = 16, stride: int = STRIDE):
+        self.net = DetectNet(width=width, stride=stride)
+        self.stride = stride
         self.variables = variables
         self._call = jax.jit(self._impl)
         self._person_box = jax.jit(self._person_box_impl)
@@ -138,11 +147,12 @@ class Detection:
         from ..utils.params_io import load_params
 
         params, meta = load_params(ckpt_path)
-        return cls({"params": params}, width=meta.get("width", 16))
+        return cls({"params": params}, width=meta.get("width", 16),
+                   stride=meta.get("stride", 16))
 
     def _impl(self, images):
         heat, size, off = self.net.apply(self.variables, images * 2.0 - 1.0)
-        return decode(heat, size, off)
+        return decode(heat, size, off, stride=self.stride)
 
     def __call__(self, images: jax.Array):
         return self._call(images)
@@ -169,7 +179,7 @@ class Detection:
     def _person_box_impl(self, images, pad, min_prob, fallback):
         s = images.shape[1]
         heat, size, off = self.net.apply(self.variables, images * 2.0 - 1.0)
-        boxes, probs = decode(heat, size, off)
+        boxes, probs = decode(heat, size, off, stride=self.stride)
         conf = probs > min_prob                            # [B,K]
         big = jnp.float32(1e9)
         x1 = jnp.min(jnp.where(conf, boxes[..., 0], big), axis=1)
