@@ -157,7 +157,7 @@ class Detection:
     def __call__(self, images: jax.Array):
         return self._call(images)
 
-    def person_box(self, images: jax.Array, pad: float = 0.12,
+    def person_box(self, images: jax.Array, pad: float = 0.15,
                    min_prob: float = 0.3,
                    fallback: Optional[jax.Array] = None):
         """[B,S,S,3] -> [B,4] single detection region for the segmenter:

@@ -255,11 +255,15 @@ def synth_item(key, size: int, n_points: int, hard: bool = False):
                           pose_spread=1.35, z_spread=0.35)
         caps = clothe(k_cloth, caps, amp=(0.0, 0.30))
         app = sample_appearance(k_app)
+        # tighter surface sigma concentrates supervision at the boundary
+        # (the silhouette is where IOU is won; +-0.035 = +-4.5 fine voxels)
+        sigma = 0.035
     else:
         caps = skeleton3d(k_skel)
         app = None
+        sigma = 0.05
     image, mask = render_front(caps, size, appearance=app)
-    pts, labels = sample_points(k_pts, caps, n_points)
+    pts, labels = sample_points(k_pts, caps, n_points, sigma=sigma)
     return {"image": image, "points": pts, "labels": labels,
             "calib": jnp.eye(4, dtype=jnp.float32)}
 
