@@ -69,12 +69,27 @@ def main(argv=None):
     def make_item(key):
         k_skel, k_base, k_pts, k_cloth = jax.random.split(key, 4)
         if args.hard:
-            from ..training.datasets.capsule import (clothe,
+            from ..training.datasets.capsule import (_DEFAULT_BASE, clothe,
                                                      sample_appearance)
             caps = clothe(k_cloth, skeleton3d(
                 k_skel, scale_range=(0.45, 1.0), pose_spread=1.35,
                 z_spread=0.35), amp=(0.0, 0.30))
             app = sample_appearance(k_base)
+            # 50/50 plain anchor: half the stream is the bench/demo look
+            # (default base with brightness jitter, no texture pattern,
+            # bare body). Without it the texture curriculum makes netC
+            # hallucinate faint patterns on plain bodies: measured 20.0 dB
+            # vs 27.9 dB on the plain held-out capsule (r3 ledger).
+            k_mix, k_pb = jax.random.split(jax.random.fold_in(key, 99))
+            plain = jax.random.bernoulli(k_mix, 0.5)
+            keep = 1.0 - plain.astype(jnp.float32)
+            base_plain = jnp.asarray(_DEFAULT_BASE) * jax.random.uniform(
+                k_pb, (3,), minval=0.8, maxval=1.15)
+            app = {"base": jnp.where(plain, base_plain, app["base"]),
+                   "amp": app["amp"] * keep,
+                   "freq": app["freq"], "phase": app["phase"]}
+            amp_v, freq, phase = caps[3]
+            caps = (caps[0], caps[1], caps[2], (amp_v * keep, freq, phase))
             image, _ = render_front(caps, args.size, appearance=app)
             pts = sample_surface_points(k_pts, caps, args.points)
             colors = surface_color(pts, appearance=app)

@@ -58,14 +58,16 @@ def test_trained_engine_reconstructs(nets):
     gt_sil = np.asarray(occ.any(axis=0))
     got = np.asarray(out["valid"]) > 0.5
     iou = (got & gt_sil).sum() / (got | gt_sil).sum()
-    # trained-model quality gate (not path parity): measured 0.743 at this
-    # reduced profile with the committed r2 weights — the gate locks in
-    # most of that so a visibly broken model cannot ship green
-    assert iou > 0.65, iou
+    # trained-model quality gate (not path parity): measured 0.906 at this
+    # reduced profile with the committed r3 weights (hard-curriculum netG,
+    # up from 0.743 in r2) — the gate locks in most of that so a visibly
+    # broken model cannot ship green
+    assert iou > 0.85, iou
 
     # texture quality: PSNR of the rendered color vs the renderer's known
     # shading model at the reconstructed surface (a broken netC measures
-    # ~10-15 dB; the committed weights measure 27.9 dB)
+    # ~10-15 dB; the committed r3 weights measure 24.3 dB — trained on the
+    # textured hard curriculum with a 50/50 plain anchor)
     from monoport_tpu.recon.depth_peel import visualize
     from monoport_tpu.training.datasets.capsule import gt_texture_canvas
     from monoport_tpu.training.metrics import masked_psnr
