@@ -287,6 +287,48 @@ def _build_real():
     return netG, params_g, netC, params_c, engine
 
 
+def bench_kernel(engine, params_g, image, calib):
+    """BASELINE.md kernel metric: query-points/sec through the fused
+    pixel-aligned sampling + occupancy-MLP path (project -> bilinear
+    `index` -> z-feature -> Pallas fused MLP). The reference's own
+    micro-bench runs the torch MLP at 50k points for 1.9M pts/s
+    (heads/SurfaceClassifier.py:102, geometry.py:4-16); measured here at
+    a ~50k batch (comparability) and a 512k batch (MXU saturation),
+    with the same marginal-rate method as the frame bench."""
+    netG = engine.netG
+    params_gc = engine._cast(params_g)
+    feats = netG.apply(params_gc, engine._cast(image), method="filter")
+    feats = engine._feats_f32(feats)
+    head_g = engine._head_fn(netG, params_gc)
+    out = {}
+    for label, n_pts, iters in (("50k", 50176, 256), ("512k", 524288, 32)):
+        pts = jax.random.uniform(jax.random.PRNGKey(3), (1, n_pts, 3),
+                                 minval=-0.9, maxval=0.9)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(feats, pts, n):
+            def body(_, carry):
+                pts, acc = carry
+                pred = netG.apply(params_gc, feats, pts, calib,
+                                  method="query", head_fn=head_g)[-1]
+                # serialized data dependency so XLA cannot collapse the
+                # chain; the perturbation is numerically invisible
+                return (pts + pred.mean() * 1e-12, acc + pred.sum())
+            return jax.lax.fori_loop(0, n, body, (pts, jnp.float32(0)))[1]
+
+        for n in (iters, 2 * iters):
+            _ = np.asarray(loop(feats, pts, n))
+
+        def run_loop_n(n):
+            _ = np.asarray(loop(feats, pts, n))
+
+        rate, rate_lower = measure_fps(run_loop_n, iters)
+        out[f"kernel_mpts_{label}"] = round(rate * n_pts / 1e6, 1)
+    out["kernel_vs_baseline_1p9mpts"] = round(
+        out["kernel_mpts_512k"] / 1.9, 1)
+    return out
+
+
 def bench_frames(real, single_fps: float, clip: int = 8, iters: int = 8):
     """Batched video mode (BASELINE config #4: recon over 8-frame clips):
     engine.frames processes a [B, 512, 512, 3] clip in one vmapped
@@ -515,6 +557,11 @@ def main():
                 result.update(bench_frames(real, result["real_fps"]))
     except Exception as e:  # noqa: BLE001
         result["frames_mode_error"] = repr(e)[:200]
+    try:
+        if os.environ.get("BENCH_KERNEL", "1") == "1":
+            result.update(bench_kernel(engine, params_g, image, calib))
+    except Exception as e:  # noqa: BLE001
+        result["kernel_error"] = repr(e)[:200]
     try:
         result["canary_tflops_bf16"] = round(canary_tflops(), 1)
     except Exception:  # noqa: BLE001
