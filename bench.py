@@ -233,13 +233,8 @@ def build_frame():
         head_c = engine._head_fn(engine.netC, params_c)
 
         cg = engine._grid_color_fn(engine.netC, params_c, feats_c, calib_t)
-        if cg is not None:   # gather-free texture pass (engine fast path)
-            r = engine.fine_res
-            sr = 2.0 / r
-            a = jnp.arange(r, dtype=jnp.float32)
-            color = cg(a * sr - 1.0, a * sr - 1.0,
-                       (float(r) - maps.depth) * sr - 1.0) * 0.5 + 0.5
-            tex_canvas = jnp.where(maps.valid[..., None], color, 1.0)
+        if cg is not None:   # gather-free windowed texture (engine fast path)
+            tex_canvas = engine._grid_texture(cg, maps, engine.fine_res)
         else:
             def query_color(pts):
                 return engine.netC.apply(params_c, feats_c, pts, calib_t,

@@ -277,6 +277,48 @@ class ReconEngine:
 
         return color_grid
 
+    def _grid_texture(self, color_grid, maps, resolution: int):
+        """Gather-free texture canvas from the grid color query.
+
+        The ray lattice is an outer-product grid, so the voxel->world map
+        of surface_world_points (RTL/main.py:204-210 semantics) factors
+        into per-axis vectors + the per-ray surface z. When a fine-pass
+        window is configured (`ray_window`), the color MLP runs only on a
+        window^2 lattice over the subject's bbox — the texture analog of
+        the fine-pass window (r3 stage ledger: the 257^2 texture query is
+        the frame's largest stage, and ~45% of its rays lie outside the
+        window that bounds every tap-verified surface pixel). The stride-1
+        case (subject fits the window, integer start) resamples back to
+        the full lattice as an EXACT gather; a larger subject gets a
+        bilinear color resample at stride > 1 — colors are smooth, unlike
+        depth, so this matches the fine pass's own resampling policy."""
+        r = resolution
+        b_min = jnp.asarray(self.recon.b_min, jnp.float32)
+        b_max = jnp.asarray(self.recon.b_max, jnp.float32)
+        sr = (b_max - b_min) / r
+        w = self.ray_window
+        if w is None or w >= r:
+            a = jnp.arange(r, dtype=jnp.float32)
+            color = color_grid(a * sr[0] + b_min[0], a * sr[1] + b_min[1],
+                               (float(r) - maps.depth) * sr[2] + b_min[2])
+        else:
+            from .recon.ray_refine import _axis_window, _sample_grid
+            x0, sx = _axis_window(maps.valid.any(axis=1), r, r, 1.0, w)
+            y0, sy = _axis_window(maps.valid.any(axis=0), r, r, 1.0, w)
+            aw = x0 + jnp.arange(w, dtype=jnp.float32) * sx
+            bw = y0 + jnp.arange(w, dtype=jnp.float32) * sy
+            depth_w = _sample_grid(maps.depth, aw, bw)
+            color_w = color_grid(aw * sr[0] + b_min[0],
+                                 bw * sr[1] + b_min[1],
+                                 (float(r) - depth_w) * sr[2] + b_min[2])
+            fr = jnp.arange(r, dtype=jnp.float32)
+            u = jnp.clip((fr - x0) / sx, 0.0, w - 1)
+            v = jnp.clip((fr - y0) / sy, 0.0, w - 1)
+            color = jnp.stack([_sample_grid(color_w[..., k], u, v)
+                               for k in range(3)], axis=-1)
+        color = color * 0.5 + 0.5
+        return jnp.where(maps.valid[..., None], color, 1.0)
+
     def _cast(self, tree):
         if self.compute_dtype == jnp.float32 or tree is None:
             return tree
@@ -355,20 +397,7 @@ class ReconEngine:
                                               calib)
                           if (use_taps and use_grid) else None)
             if color_grid is not None:
-                # gather-free texture pass: the ray lattice is an outer-
-                # product grid, so the voxel->world map of
-                # surface_world_points (RTL/main.py:204-210 semantics)
-                # factors into per-axis vectors + the per-ray surface z
-                r = resolution
-                b_min = jnp.asarray(self.recon.b_min, jnp.float32)
-                b_max = jnp.asarray(self.recon.b_max, jnp.float32)
-                sr = (b_max - b_min) / r
-                a = jnp.arange(r, dtype=jnp.float32)
-                color = color_grid(a * sr[0] + b_min[0],
-                                   a * sr[1] + b_min[1],
-                                   (float(r) - maps.depth) * sr[2]
-                                   + b_min[2]) * 0.5 + 0.5
-                tex_canvas = jnp.where(maps.valid[..., None], color, 1.0)
+                tex_canvas = self._grid_texture(color_grid, maps, resolution)
             else:
                 def query_color(pts):
                     pts = self._shard_points(pts)

@@ -115,6 +115,56 @@ def test_engine_grid_path_equivalence(engine_setup):
     assert (va != vb).mean() < 0.005
 
 
+def test_grid_texture_window_exact_and_strided(engine_setup):
+    """_grid_texture with a fine-pass window: when the subject's bbox fits
+    the window (stride 1, integer start) the resampled canvas is an EXACT
+    match to the full-lattice texture on every pixel; when the subject
+    overflows the window (stride > 1) the bilinear color resample stays
+    close on valid pixels."""
+    netG, netC, params_g, params_c, image, calib = engine_setup
+    from monoport_tpu.recon.depth_peel import SurfaceMaps
+
+    r = 65
+
+    def color_grid(xw, yw, zw):
+        # smooth analytic color of the world coords (shape contract of
+        # engine._grid_color_fn: xw [h], yw [w], zw [h, w] -> [h, w, 3])
+        cx = jnp.sin(3.0 * xw)[:, None] + 0.2 * zw
+        cy = jnp.cos(2.0 * yw)[None, :] - 0.1 * zw
+        cz = 0.5 * zw
+        return jnp.stack([jnp.broadcast_to(cx, zw.shape),
+                          jnp.broadcast_to(cy, zw.shape), cz], axis=-1)
+
+    ii, jj = np.meshgrid(np.arange(r), np.arange(r), indexing="ij")
+
+    def build(radius):
+        valid = (ii - 32) ** 2 + (jj - 32) ** 2 < radius ** 2
+        depth = 20.0 + 6.0 * np.sin(ii / 9.0) * np.cos(jj / 7.0)
+        return SurfaceMaps(depth=jnp.asarray(depth, jnp.float32),
+                           normal=jnp.zeros((r, r, 3), jnp.float32),
+                           valid=jnp.asarray(valid))
+
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    full = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=r)
+    win = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=r,
+                      ray_window=48)
+
+    # subject fits the 48-ray window (disk r=14 + 1.5 margin < 48):
+    maps = build(14)
+    a = np.asarray(full._grid_texture(color_grid, maps, r))
+    b = np.asarray(win._grid_texture(color_grid, maps, r))
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+    # subject overflows the window -> strided color resample, valid-only
+    maps = build(30)
+    a = np.asarray(full._grid_texture(color_grid, maps, r))
+    b = np.asarray(win._grid_texture(color_grid, maps, r))
+    v = np.asarray(maps.valid)
+    assert np.abs(b - a)[v].max() < 0.02
+    # background is the same constant canvas either way
+    np.testing.assert_allclose(b[~v], a[~v], atol=1e-6)
+
+
 def test_grid_gate_rejects_rotated_image_rows(engine_setup):
     netG, netC, params_g, params_c, image, calib = engine_setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
