@@ -370,6 +370,43 @@ def bench_frames(real, single_fps: float, clip: int = 8, iters: int = 8):
     }
 
 
+def bench_backbones(engine, params_g, params_c, image):
+    """Per-backbone forward rate at 1x512x512, the reference's own
+    micro-bench contract (BASELINE.md: HGFilter 27.42 fps,
+    HGFilters.py:233; ResnetFilter 39.68 fps, ResBlkFilters.py:163).
+    Marginal-rate method over an on-device fori_loop chain, bf16 like the
+    demo path."""
+    out = {}
+    nets = [("netg_filter_fps", engine.netG, engine._cast(params_g), None)]
+    if engine.netC is not None and params_c is not None:
+        prior = jnp.zeros((1, 128, 128, 256), engine.compute_dtype)
+        nets.append(("netc_filter_fps", engine.netC,
+                     engine._cast(params_c), prior))
+    img = engine._cast(image)
+    for key, net, params, prior in nets:
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(params, img, n, net=net, prior=prior):
+            def body(_, img):
+                args = (img,) if prior is None else (img, prior)
+                feats = net.apply(params, *args, method="filter")
+                return img + feats[-1][-1].mean().astype(img.dtype) * 1e-12
+            return jax.lax.fori_loop(0, n, body, img)
+
+        iters = 60
+        for n in (iters, 2 * iters):
+            _ = np.asarray(loop(params, img, n)[0, 0, 0, 0])
+
+        def run_n(n):
+            _ = np.asarray(loop(params, img, n)[0, 0, 0, 0])
+
+        rate, _ = measure_fps(run_n, iters)
+        out[key] = round(rate, 1)
+    if "netg_filter_fps" in out:
+        out["netg_filter_vs_ref_27p42"] = round(
+            out["netg_filter_fps"] / 27.42, 1)
+    return out
+
+
 def bench_real(iters: int = 60):
     # 60 on-device frames (~2s): the tunnel's fetch RTT (~0.5-1s, run-to-
     # run noisy) is subtracted from the measured wall time, so short loops
@@ -557,6 +594,11 @@ def main():
             result.update(bench_kernel(engine, params_g, image, calib))
     except Exception as e:  # noqa: BLE001
         result["kernel_error"] = repr(e)[:200]
+    try:
+        if os.environ.get("BENCH_BACKBONES", "1") == "1":
+            result.update(bench_backbones(engine, params_g, params_c, image))
+    except Exception as e:  # noqa: BLE001
+        result["backbones_error"] = repr(e)[:200]
     try:
         result["canary_tflops_bf16"] = round(canary_tflops(), 1)
     except Exception:  # noqa: BLE001
