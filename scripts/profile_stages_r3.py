@@ -100,12 +100,7 @@ def main():
                     + render_norm.astype(jnp.float32).sum())
 
         cg = engine._grid_color_fn(engine.netC, params_c, feats_c, calib)
-        r = engine.fine_res
-        sr = 2.0 / r
-        a = jnp.arange(r, dtype=jnp.float32)
-        color = cg(a * sr - 1.0, a * sr - 1.0,
-                   (float(r) - maps.depth) * sr - 1.0) * 0.5 + 0.5
-        tex_canvas = jnp.where(maps.valid[..., None], color, 1.0)
+        tex_canvas = engine._grid_texture(cg, maps, engine.fine_res)
         render_tex, _mask_tex = visualize(tex_canvas, engine.render_size)
         return (render_tex.astype(jnp.float32).sum()
                 + render_norm.astype(jnp.float32).sum())
