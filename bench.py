@@ -53,12 +53,16 @@ _enable_cache()
 #                         tests/test_recon_quality.py / DESIGN.md)
 #   BENCH_MARCH=0         disable the volume-free ray-march pyramid and
 #                         run the coarse hierarchy instead (the r2 path)
+#   BENCH_MARCH_ROTATED=0 rotated view calibs fall back to the hierarchy
+#                         path instead of the per-point march (A/B for the
+#                         free-viewpoint bench section)
 _RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
 _BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
 _RAY_TAPS = int(os.environ.get("BENCH_RAY_TAPS", "6"))
 _RAY_WINDOW = int(os.environ.get("BENCH_RAY_WINDOW", "192"))
 _MARCH = os.environ.get("BENCH_MARCH", "1") == "1" and _RAY_QUERY
 _MARCH_LEVELS = (33, 65)
+_MARCH_ROTATED = os.environ.get("BENCH_MARCH_ROTATED", "1") == "1"
 
 
 def canary_tflops() -> float:
@@ -234,7 +238,7 @@ def build_frame():
 
         cg = engine._grid_color_fn(engine.netC, params_c, feats_c, calib_t)
         if cg is not None:   # gather-free windowed texture (engine fast path)
-            tex_canvas = engine._grid_texture(cg, maps, engine.fine_res)
+            tex_canvas = engine._texture_canvas(maps, engine.fine_res, color_grid=cg)
         else:
             def query_color(pts):
                 return engine.netC.apply(params_c, feats_c, pts, calib_t,
@@ -278,7 +282,8 @@ def _build_real():
     engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
                          ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
                          compute_dtype=jnp.bfloat16, use_pallas=True,
-                         march_levels=_MARCH_LEVELS if _MARCH else None)
+                         march_levels=_MARCH_LEVELS if _MARCH else None,
+                         march_rotated=_MARCH_ROTATED)
     return netG, params_g, netC, params_c, engine
 
 
@@ -368,6 +373,46 @@ def bench_frames(real, single_fps: float, clip: int = 8, iters: int = 8):
         "frames_mode_speedup_vs_single": round(fps / single_fps, 2)
         if single_fps else None,
     }
+
+
+def bench_rotated(real, iters: int = 40):
+    """Free-viewpoint path: the demo's orbit camera (RTL/scene.py:122-137)
+    rotates the view extrinsic, so the recon calib has z-terms in its
+    image rows and every taps/grid-structured fast path is off. The frame
+    then runs the per-point march pyramid (march_rotated, r3) or — with
+    BENCH_MARCH_ROTATED=0 — the r2 hierarchy fallback, for the A/B.
+    Trained weights, yaw 20 / pitch 10 orbit pose."""
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.render.camera import orbit_extrinsic
+    from monoport_tpu.training.datasets.capsule import (render_front,
+                                                        skeleton3d)
+
+    netG, params_g, netC, params_c, engine = real
+    caps = skeleton3d(jax.random.PRNGKey(31337))
+    image = render_front(caps, 512)[0][None]
+    calib = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
+                                   np.eye(4, dtype=np.float32)))
+    assert not engine._calib_taps_ok(calib)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params_g, params_c, img, n):
+        def body(_, img):
+            out = engine._frame_impl(params_g, params_c, img,
+                                     img if netC is not None else None,
+                                     calib, use_taps=False, use_grid=False)
+            return img + out["mask"].astype(jnp.float32).sum() * 1e-12
+        return jax.lax.fori_loop(0, n, body, img)
+
+    for n in (iters, 2 * iters):
+        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
+
+    def run_n(n):
+        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
+
+    fps, fps_lower = measure_fps(run_n, iters)
+    mode = ("march_pyramid" if engine.march_levels and engine.march_rotated
+            else "hierarchy")
+    return {"rotated_fps": round(fps, 2), "rotated_mode": mode}
 
 
 def bench_backbones(engine, params_g, params_c, image):
@@ -589,6 +634,13 @@ def main():
                 result.update(bench_frames(real, result["real_fps"]))
     except Exception as e:  # noqa: BLE001
         result["frames_mode_error"] = repr(e)[:200]
+    try:
+        if os.environ.get("BENCH_ROTATED", "1") == "1":
+            real = _build_real()
+            if real is not None:
+                result.update(bench_rotated(real))
+    except Exception as e:  # noqa: BLE001
+        result["rotated_error"] = repr(e)[:200]
     try:
         if os.environ.get("BENCH_KERNEL", "1") == "1":
             result.update(bench_kernel(engine, params_g, image, calib))

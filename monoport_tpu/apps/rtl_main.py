@@ -218,6 +218,7 @@ def build_pipeline(args, cfg, state: FrameState):
         ray_window=cfg.recon.ray_window or None,
         march_levels=(tuple(cfg.recon.march_levels)
                       if cfg.recon.mode == "ray" else None),
+        march_rotated=cfg.recon.march_rotated,
         compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
         use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
     seg = Segmentation.load_default()  # trained MatteNet (box fallback if absent)

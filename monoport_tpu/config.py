@@ -187,9 +187,11 @@ def get_cfg_defaults() -> CfgNode:
     c.recon.ray_taps = 6
     c.recon.ray_window = 0            # 0 = full frame; e.g. 192 = bbox window
     # ray mode only: volume-free march pyramid on frontal frames
-    # (recon/ray_refine.ray_pyramid; [] disables). Rotated views always
-    # fall back to the hierarchy path.
+    # (recon/ray_refine.ray_pyramid; [] disables).
     c.recon.march_levels = [33, 65]
+    # rotated view calibs (orbit camera) also march, via the exact
+    # per-point query; False = r2 behavior (hierarchy fallback)
+    c.recon.march_rotated = True
     # TPU execution
     c.tpu = CN()
     c.tpu.compute_dtype = "bfloat16"

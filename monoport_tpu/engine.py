@@ -40,7 +40,8 @@ class ReconEngine:
                  ray_window: int | None = None,
                  use_pallas: bool = False, pallas_interpret: bool = False,
                  use_ray_query: bool = True,
-                 march_levels: Optional[tuple] = None, mesh=None):
+                 march_levels: Optional[tuple] = None,
+                 march_rotated: bool = True, mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -56,8 +57,15 @@ class ReconEngine:
         depth peel with the volume-free ray-march pyramid
         (recon/ray_refine.ray_pyramid) on frontal taps-eligible frames:
         better thin-limb quality AND ~10 ms/frame less volume-op cost on
-        TPU (r3 stage ledger, DESIGN.md). Rotated-calib frames still run
-        the hierarchy path; march mode emits no 'sdf'/'recon_counts'.
+        TPU (r3 stage ledger, DESIGN.md). March mode emits no
+        'sdf'/'recon_counts'.
+        march_rotated: rotated view calibs (the demo's orbit camera) ALSO
+        take the march pyramid, via the exact per-point query — the
+        pyramid marches along the recon volume's z axis, which IS the
+        view ray for any calib (the recon space is the view camera's
+        clip space, RTL/recon.py:5-25), so the geometry needs no
+        taps/grid structure. False restores the r2 behavior (hierarchy
+        fallback, which keeps 'sdf' in the output for rotated frames).
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -81,10 +89,10 @@ class ReconEngine:
         self.pallas_interpret = pallas_interpret
         self.use_ray_query = use_ray_query
         self.march_levels = tuple(march_levels) if march_levels else None
+        self.march_rotated = march_rotated
         if self.march_levels:
             assert mode == "ray" and direction == "front", \
                 "march_levels requires mode='ray' and the frontal viewer"
-            assert use_ray_query, "the march pyramid rides query_taps"
         self.mesh = mesh
         # use_taps is static: frame() picks the variant per call from the
         # CONCRETE calib (the ray-structured fast path is only valid when
@@ -277,45 +285,64 @@ class ReconEngine:
 
         return color_grid
 
-    def _grid_texture(self, color_grid, maps, resolution: int):
-        """Gather-free texture canvas from the grid color query.
+    def _texture_canvas(self, maps, resolution: int, color_grid=None,
+                        query_color=None):
+        """Texture canvas with the bbox window, for BOTH color queries.
 
-        The ray lattice is an outer-product grid, so the voxel->world map
-        of surface_world_points (RTL/main.py:204-210 semantics) factors
-        into per-axis vectors + the per-ray surface z. When a fine-pass
-        window is configured (`ray_window`), the color MLP runs only on a
-        window^2 lattice over the subject's bbox — the texture analog of
-        the fine-pass window (r3 stage ledger: the 257^2 texture query is
-        the frame's largest stage, and ~45% of its rays lie outside the
-        window that bounds every tap-verified surface pixel). The stride-1
-        case (subject fits the window, integer start) resamples back to
-        the full lattice as an EXACT gather; a larger subject gets a
-        bilinear color resample at stride > 1 — colors are smooth, unlike
-        depth, so this matches the fine pass's own resampling policy."""
+        When a fine-pass window is configured (`ray_window`), the color
+        MLP runs only on a window^2 lattice over the subject's bbox — the
+        texture analog of the fine-pass window (r3 stage ledger: the 257^2
+        texture query is the frame's largest stage, and ~45% of its rays
+        lie outside the window that bounds every tap-verified surface
+        pixel). The stride-1 case (subject fits the window, integer start)
+        resamples back to the full lattice as an EXACT gather; a larger
+        subject gets a bilinear color resample at stride > 1 — colors are
+        smooth, unlike depth, so this matches the fine pass's own
+        resampling policy.
+
+        ``color_grid`` (frontal frames): gather-free separable query — the
+        ray lattice is an outer-product grid, so the voxel->world map of
+        surface_world_points (RTL/main.py:204-210 semantics) factors into
+        per-axis vectors + the per-ray surface z. ``query_color`` (rotated
+        view frames): the exact per-point query on the same window lattice
+        — the window cuts its gather+MLP cost the same way."""
         r = resolution
         b_min = jnp.asarray(self.recon.b_min, jnp.float32)
         b_max = jnp.asarray(self.recon.b_max, jnp.float32)
         sr = (b_max - b_min) / r
         w = self.ray_window
         if w is None or w >= r:
-            a = jnp.arange(r, dtype=jnp.float32)
-            color = color_grid(a * sr[0] + b_min[0], a * sr[1] + b_min[1],
-                               (float(r) - maps.depth) * sr[2] + b_min[2])
+            if color_grid is not None:
+                a = jnp.arange(r, dtype=jnp.float32)
+                color = color_grid(a * sr[0] + b_min[0],
+                                   a * sr[1] + b_min[1],
+                                   (float(r) - maps.depth) * sr[2]
+                                   + b_min[2])
+                color = color * 0.5 + 0.5
+                return jnp.where(maps.valid[..., None], color, 1.0)
+            return colorize(maps, query_color, r, self.recon.b_min,
+                            self.recon.b_max)
+        from .recon.ray_refine import _axis_window, _sample_grid
+        x0, sx = _axis_window(maps.valid.any(axis=1), r, r, 1.0, w)
+        y0, sy = _axis_window(maps.valid.any(axis=0), r, r, 1.0, w)
+        aw = x0 + jnp.arange(w, dtype=jnp.float32) * sx
+        bw = y0 + jnp.arange(w, dtype=jnp.float32) * sy
+        depth_w = _sample_grid(maps.depth, aw, bw)
+        xw = aw * sr[0] + b_min[0]
+        yw = bw * sr[1] + b_min[1]
+        zw = (float(r) - depth_w) * sr[2] + b_min[2]
+        if color_grid is not None:
+            color_w = color_grid(xw, yw, zw)
         else:
-            from .recon.ray_refine import _axis_window, _sample_grid
-            x0, sx = _axis_window(maps.valid.any(axis=1), r, r, 1.0, w)
-            y0, sy = _axis_window(maps.valid.any(axis=0), r, r, 1.0, w)
-            aw = x0 + jnp.arange(w, dtype=jnp.float32) * sx
-            bw = y0 + jnp.arange(w, dtype=jnp.float32) * sy
-            depth_w = _sample_grid(maps.depth, aw, bw)
-            color_w = color_grid(aw * sr[0] + b_min[0],
-                                 bw * sr[1] + b_min[1],
-                                 (float(r) - depth_w) * sr[2] + b_min[2])
-            fr = jnp.arange(r, dtype=jnp.float32)
-            u = jnp.clip((fr - x0) / sx, 0.0, w - 1)
-            v = jnp.clip((fr - y0) / sy, 0.0, w - 1)
-            color = jnp.stack([_sample_grid(color_w[..., k], u, v)
-                               for k in range(3)], axis=-1)
+            pts = jnp.stack([jnp.broadcast_to(xw[:, None], (w, w)),
+                             jnp.broadcast_to(yw[None, :], (w, w)),
+                             zw], axis=-1).reshape(1, -1, 3)
+            color_w = query_color(pts)[0].reshape(w, w, 3)
+        fr = jnp.arange(r, dtype=jnp.float32)
+        u = jnp.clip((fr - x0) / sx, 0.0, w - 1)
+        v = jnp.clip((fr - y0) / sy, 0.0, w - 1)
+        color = jnp.stack([_sample_grid(color_w[..., k], u, v)
+                           for k in range(3)], axis=-1)
         color = color * 0.5 + 0.5
         return jnp.where(maps.valid[..., None], color, 1.0)
 
@@ -346,7 +373,13 @@ class ReconEngine:
               if use_taps else None)
         qg = (self._query_grid_fn(self.netG, params_g, feats_g, calib)
               if (use_taps and use_grid) else None)
-        if self.march_levels and qt is not None and use_taps:
+        # the march pyramid runs on frontal taps-eligible frames (ray/grid
+        # structured queries) AND — geometry is calib-agnostic, the march
+        # axis is the view ray for any calib — on rotated frames via the
+        # exact per-point query (march_rotated; qt is None there and
+        # ray_pyramid falls through to query_occ)
+        march = self.march_levels and (use_taps or self.march_rotated)
+        if march:
             # volume-free fast path: no hierarchy, no depth peel, no sdf
             from .recon.ray_refine import ray_pyramid
             resolution = self.fine_res
@@ -397,7 +430,8 @@ class ReconEngine:
                                               calib)
                           if (use_taps and use_grid) else None)
             if color_grid is not None:
-                tex_canvas = self._grid_texture(color_grid, maps, resolution)
+                tex_canvas = self._texture_canvas(maps, resolution,
+                                                  color_grid=color_grid)
             else:
                 def query_color(pts):
                     pts = self._shard_points(pts)
@@ -405,8 +439,8 @@ class ReconEngine:
                                            method="query",
                                            head_fn=head_c)[0]
 
-                tex_canvas = colorize(maps, query_color, resolution,
-                                      self.recon.b_min, self.recon.b_max)
+                tex_canvas = self._texture_canvas(maps, resolution,
+                                                  query_color=query_color)
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
         return out

@@ -100,7 +100,7 @@ def main():
                     + render_norm.astype(jnp.float32).sum())
 
         cg = engine._grid_color_fn(engine.netC, params_c, feats_c, calib)
-        tex_canvas = engine._grid_texture(cg, maps, engine.fine_res)
+        tex_canvas = engine._texture_canvas(maps, engine.fine_res, color_grid=cg)
         render_tex, _mask_tex = visualize(tex_canvas, engine.render_size)
         return (render_tex.astype(jnp.float32).sum()
                 + render_norm.astype(jnp.float32).sum())

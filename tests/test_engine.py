@@ -104,7 +104,8 @@ def test_engine_pallas_head_equivalence(setup):
 
 def test_engine_march_mode(setup):
     """march_levels: frontal frames run the volume-free pyramid (no sdf in
-    the output); rotated calibs fall back to the hierarchy path."""
+    the output); rotated calibs ALSO march (per-point query) by default,
+    and fall back to the hierarchy path with march_rotated=False."""
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.render.camera import orbit_extrinsic
 
@@ -121,13 +122,49 @@ def test_engine_march_mode(setup):
     rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 15.0),
                                  np.eye(4, dtype=np.float32)))
     out_rot = eng.frame(params_g, image, calib=rot)
-    assert "sdf" in out_rot  # hierarchy fallback ran
+    assert "sdf" not in out_rot  # rotated frames march too (per-point)
+    assert out_rot["depth"].shape == (33, 33)
+
+    legacy = ReconEngine(netG, netC, recon=recon, render_size=32,
+                         mode="ray", fine_res=33, ray_taps=4,
+                         march_levels=(9, 17), march_rotated=False)
+    out_leg = legacy.frame(params_g, image, calib=rot)
+    assert "sdf" in out_leg  # hierarchy fallback ran
 
     # frames(): the batched path takes the same gate
     images = jnp.tile(image[0][None], (2, 1, 1, 1))
     outs = eng.frames(params_g, images)
     assert "sdf" not in outs
     assert outs["depth"].shape == (2, 33, 33)
+
+
+def test_engine_rotated_march_matches_per_point_refine(setup):
+    """The rotated-calib march pyramid rides ONLY the generic per-point
+    query, so its fine pass must equal the same pyramid driven without
+    any taps/grid structure on a frontal calib too — i.e. the per-point
+    fallback inside ray_pyramid is the exact same arithmetic whichever
+    calib selected it. Guards the new march_rotated gating."""
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.render.camera import orbit_extrinsic
+
+    netG, _, params_g, _, image, _ = setup
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(25.0, 10.0),
+                                 np.eye(4, dtype=np.float32)))
+    eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
+                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    # use_ray_query=False forces qt=None on every calib: the march must
+    # then take the identical per-point route the rotated frame takes
+    plain = ReconEngine(netG, None, recon=recon, render_size=32,
+                        mode="ray", fine_res=33, ray_taps=4,
+                        march_levels=(9, 17), use_ray_query=False,
+                        march_rotated=True)
+    out_a = eng.frame(params_g, image, calib=rot)
+    out_b = plain.frame(params_g, image, calib=rot)
+    np.testing.assert_array_equal(np.asarray(out_a["depth"]),
+                                  np.asarray(out_b["depth"]))
+    np.testing.assert_array_equal(np.asarray(out_a["valid"]),
+                                  np.asarray(out_b["valid"]))
 
 
 def test_engine_batched_frames(setup):

@@ -115,26 +115,34 @@ def test_engine_grid_path_equivalence(engine_setup):
     assert (va != vb).mean() < 0.005
 
 
-def test_grid_texture_window_exact_and_strided(engine_setup):
-    """_grid_texture with a fine-pass window: when the subject's bbox fits
-    the window (stride 1, integer start) the resampled canvas is an EXACT
-    match to the full-lattice texture on every pixel; when the subject
-    overflows the window (stride > 1) the bilinear color resample stays
-    close on valid pixels."""
+def _analytic_color(xw, yw, zw):
+    # smooth analytic color of the world coords (shape contract of
+    # engine._grid_color_fn: xw [h], yw [w], zw [h, w] -> [h, w, 3])
+    cx = jnp.sin(3.0 * xw)[:, None] + 0.2 * zw
+    cy = jnp.cos(2.0 * yw)[None, :] - 0.1 * zw
+    cz = 0.5 * zw
+    return jnp.stack([jnp.broadcast_to(cx, zw.shape),
+                      jnp.broadcast_to(cy, zw.shape), cz], axis=-1)
+
+
+def _analytic_color_points(pts):
+    # per-point form of the same color field (engine query_color contract:
+    # [1, N, 3] world points -> [1, N, 3] colors)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    return jnp.stack([jnp.sin(3.0 * x) + 0.2 * z,
+                      jnp.cos(2.0 * y) - 0.1 * z, 0.5 * z], axis=-1)
+
+
+def test_texture_window_exact_and_strided(engine_setup):
+    """_texture_canvas with a fine-pass window, BOTH query forms: when the
+    subject's bbox fits the window (stride 1, integer start) the resampled
+    canvas is an EXACT match to the full-lattice texture on every pixel;
+    when the subject overflows the window (stride > 1) the bilinear color
+    resample stays close on valid pixels."""
     netG, netC, params_g, params_c, image, calib = engine_setup
     from monoport_tpu.recon.depth_peel import SurfaceMaps
 
     r = 65
-
-    def color_grid(xw, yw, zw):
-        # smooth analytic color of the world coords (shape contract of
-        # engine._grid_color_fn: xw [h], yw [w], zw [h, w] -> [h, w, 3])
-        cx = jnp.sin(3.0 * xw)[:, None] + 0.2 * zw
-        cy = jnp.cos(2.0 * yw)[None, :] - 0.1 * zw
-        cz = 0.5 * zw
-        return jnp.stack([jnp.broadcast_to(cx, zw.shape),
-                          jnp.broadcast_to(cy, zw.shape), cz], axis=-1)
-
     ii, jj = np.meshgrid(np.arange(r), np.arange(r), indexing="ij")
 
     def build(radius):
@@ -149,20 +157,31 @@ def test_grid_texture_window_exact_and_strided(engine_setup):
     win = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=r,
                       ray_window=48)
 
-    # subject fits the 48-ray window (disk r=14 + 1.5 margin < 48):
-    maps = build(14)
-    a = np.asarray(full._grid_texture(color_grid, maps, r))
-    b = np.asarray(win._grid_texture(color_grid, maps, r))
-    np.testing.assert_allclose(b, a, atol=1e-6)
+    for kwargs in ({"color_grid": _analytic_color},
+                   {"query_color": _analytic_color_points}):
+        # subject fits the 48-ray window (disk r=14 + 1.5 margin < 48):
+        maps = build(14)
+        a = np.asarray(full._texture_canvas(maps, r, **kwargs))
+        b = np.asarray(win._texture_canvas(maps, r, **kwargs))
+        np.testing.assert_allclose(b, a, atol=1e-6)
 
-    # subject overflows the window -> strided color resample, valid-only
-    maps = build(30)
-    a = np.asarray(full._grid_texture(color_grid, maps, r))
-    b = np.asarray(win._grid_texture(color_grid, maps, r))
-    v = np.asarray(maps.valid)
-    assert np.abs(b - a)[v].max() < 0.02
-    # background is the same constant canvas either way
-    np.testing.assert_allclose(b[~v], a[~v], atol=1e-6)
+        # subject overflows the window -> strided color resample,
+        # valid-only closeness
+        maps = build(30)
+        a = np.asarray(full._texture_canvas(maps, r, **kwargs))
+        b = np.asarray(win._texture_canvas(maps, r, **kwargs))
+        v = np.asarray(maps.valid)
+        assert np.abs(b - a)[v].max() < 0.02
+        # background is the same constant canvas either way
+        np.testing.assert_allclose(b[~v], a[~v], atol=1e-6)
+
+    # the two query forms agree with each other on the full lattice
+    maps = build(14)
+    a = np.asarray(full._texture_canvas(maps, r,
+                                        color_grid=_analytic_color))
+    b = np.asarray(full._texture_canvas(
+        maps, r, query_color=_analytic_color_points))
+    np.testing.assert_allclose(b, a, atol=1e-5)
 
 
 def test_grid_gate_rejects_rotated_image_rows(engine_setup):
