@@ -252,9 +252,10 @@ class ReconEngine:
     def _query_grid_fn(self, net: MonoPortNet, params: Any, feats, calib):
         """Grid-structured occupancy query (separable gather-free feature
         sampling, ops/sampling.index_grid) for outer-product ray lattices,
-        or None when ineligible. Single-chip only (no points sharding)."""
-        if self.mesh is not None:
-            return None
+        or None when ineligible. Under a mesh the sampling einsums stay
+        replicated-or-partitioned at XLA's choice while the head (already
+        shard_map'ed over 'points' by _ray_head) shards the flattened ray
+        axis — multi-chip keeps the full r3 grid program."""
         head = self._ray_head(net, params)
         if head is None:
             return None
@@ -271,8 +272,6 @@ class ReconEngine:
         outer-product lattice ([r] x [r] world axes + [r, r] surface z) ->
         [r, r, 3] colors. Replaces colorize()'s 257^2-point gather+MLP on
         the frontal path (the gather alone measured ~8 ms; r3 ledger)."""
-        if self.mesh is not None:
-            return None
         head = self._ray_head(net, params)
         if head is None:
             return None

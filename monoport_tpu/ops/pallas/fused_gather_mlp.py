@@ -20,11 +20,17 @@ same shared-projection MLP as fused_ray_mlp (z-split skip layers, taps
 statically unrolled). T=1 degenerates to a per-POINT fused gather+MLP —
 the query shape of rotated-view frames and the coarse hierarchy levels.
 
-Known structural risk (measured either way, see DESIGN.md): the gather
-loop is scalar-sequential — R iterations x 4 row reads per tile on the
-scalar unit while the MXU idles; XLA's native gather overlaps better.
-The experiment answers whether skipping the HBM round-trip of the
-gathered [R, C] feature block pays for the serialization.
+MEASURED DEAD END (kept in-tree as the documented experiment; numbers
+and probes in DESIGN.md "Round-3 in-kernel tap gather"): (1) a dynamic
+single-row slice of a bf16 VMEM table is a Mosaic INTERNAL compile
+error (two rows per sublane; the relayout has no codegen), so the
+8 MB bf16 table is unreachable; (2) the f32 table at the real map size
+is 16 MB — the entire VMEM; (3) at a reduced table size where it does
+compile, the scalar gather loop measures 12.5 M rays/s vs 13.9 for the
+XLA-gather composition and 16.5+ for the separable grid sampling, same
+session. The gather does not belong inside the kernel on this hardware;
+the shipped decomposition (gather via XLA or grid matmuls, MLP in
+Pallas) stands.
 """
 
 from __future__ import annotations
@@ -77,7 +83,7 @@ def _gather_ray_kernel(n_layers: int, taps: int, tile_r: int, last_op: str,
             tap[k, pl.ds(i, 1), :] = table_ref[pl.ds(idx_ref[0, i, k], 1), :]
         return 0
 
-    jax.lax.fori_loop(0, tile_r, gather, 0, unroll=4)
+    jax.lax.fori_loop(0, tile_r, gather, 0)  # Mosaic: unroll=1 only
     wgt = wgt_ref[0]                   # [tile_r, 4] f32, OOB taps are 0
     # bf16 rows x f32 weights promote to f32; combine then back to the
     # compute dtype for the MXU (same combine as grid_sample_2d on a

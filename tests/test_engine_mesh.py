@@ -80,3 +80,41 @@ def test_engine_mesh_keeps_pallas():
         np.testing.assert_allclose(np.asarray(out_m[key]),
                                    np.asarray(out_s[key]),
                                    atol=1e-5, err_msg=key)
+
+
+def test_engine_mesh_grid_path():
+    """The separable gather-free grid program (r3) under a mesh: the
+    sampling einsums lower under SPMD while the shard_map'ed Pallas heads
+    shard the flattened ray axis — output equals single-device, windowed
+    texture included."""
+    from tests.test_engine import _nets
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
+              ray_taps=4, ray_window=24, march_levels=(9, 17),
+              use_pallas=True, pallas_interpret=True)
+    single = ReconEngine(netG, netC, **kw)
+    mesh = make_mesh(len(jax.devices()))
+    assert mesh.shape["points"] > 1
+    sharded = ReconEngine(netG, netC, mesh=mesh, **kw)
+    assert sharded._calib_grid_ok(calib)
+    assert sharded._query_grid_fn(
+        netG, params_g,
+        netG.apply(params_g, image, method="filter"), calib) is not None
+
+    out_s = single.frame(params_g, image, params_c, image, calib)
+    out_m = sharded.frame(params_g, image, params_c, image, calib)
+    assert "sdf" not in out_m      # march pyramid ran
+    for key in ("depth", "render_norm", "render_tex", "mask"):
+        np.testing.assert_allclose(np.asarray(out_m[key]),
+                                   np.asarray(out_s[key]),
+                                   atol=1e-5, err_msg=key)
