@@ -124,6 +124,28 @@ def measure_fps(run_loop_n, iters: int, reps: int = 5):
     return iters / dt, lower
 
 
+def marginal_frame_rate(frame_fn, params_g, params_c, image, iters):
+    """Shared harness for the per-frame sections: compile a chained
+    on-device fori_loop over ``frame_fn(params_g, params_c, img) -> out``
+    (must return a dict with 'mask'; the mask-sum*1e-12 perturbation
+    serializes the chain without changing values) at N and 2N frames and
+    return measure_fps' (marginal fps, single-loop lower bound)."""
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params_g, params_c, img, n):
+        def body(_, img):
+            out = frame_fn(params_g, params_c, img)
+            return img + out["mask"].astype(jnp.float32).sum() * 1e-12
+        return jax.lax.fori_loop(0, n, body, img)
+
+    for n in (iters, 2 * iters):
+        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
+
+    def run_n(n):
+        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
+
+    return measure_fps(run_n, iters)
+
+
 def build_frame():
     from monoport_tpu import get_cfg_defaults
     from monoport_tpu.engine import ReconEngine
@@ -394,25 +416,18 @@ def bench_rotated(real, iters: int = 40):
                                    np.eye(4, dtype=np.float32)))
     assert not engine._calib_taps_ok(calib)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(params_g, params_c, img, n):
-        def body(_, img):
-            out = engine._frame_impl(params_g, params_c, img,
-                                     img if netC is not None else None,
-                                     calib, use_taps=False, use_grid=False)
-            return img + out["mask"].astype(jnp.float32).sum() * 1e-12
-        return jax.lax.fori_loop(0, n, body, img)
+    def frame(params_g, params_c, img):
+        return engine._frame_impl(params_g, params_c, img,
+                                  img if netC is not None else None,
+                                  calib, use_taps=False, use_grid=False)
 
-    for n in (iters, 2 * iters):
-        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
-
-    def run_n(n):
-        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
-
-    fps, fps_lower = measure_fps(run_n, iters)
+    fps, fps_lower = marginal_frame_rate(frame, params_g, params_c, image,
+                                         iters)
     mode = ("march_pyramid" if engine.march_levels and engine.march_rotated
             else "hierarchy")
-    return {"rotated_fps": round(fps, 2), "rotated_mode": mode}
+    return {"rotated_fps": round(fps, 2),
+            "rotated_fps_incl_tunnel_overhead": round(fps_lower, 2),
+            "rotated_mode": mode}
 
 
 def bench_backbones(engine, params_g, params_c, image):

@@ -374,10 +374,14 @@ class ReconEngine:
               if (use_taps and use_grid) else None)
         # the march pyramid runs on frontal taps-eligible frames (ray/grid
         # structured queries) AND — geometry is calib-agnostic, the march
-        # axis is the view ray for any calib — on rotated frames via the
-        # exact per-point query (march_rotated; qt is None there and
-        # ray_pyramid falls through to query_occ)
-        march = self.march_levels and (use_taps or self.march_rotated)
+        # axis is the view ray for any calib — on taps-ineligible frames
+        # (rotated calib, or use_ray_query off) via the exact per-point
+        # query when march_rotated is on. Frontal frames whose NET cannot
+        # build the ray head (perspective / soft-onehot) keep the r2
+        # hierarchy path, as before.
+        march = self.march_levels and (
+            (use_taps and qt is not None)
+            or (not use_taps and self.march_rotated))
         if march:
             # volume-free fast path: no hierarchy, no depth peel, no sdf
             from .recon.ray_refine import ray_pyramid

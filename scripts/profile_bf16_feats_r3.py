@@ -14,14 +14,12 @@ This measures the official synthetic frame program (bench.build_frame)
 with f32 vs bf16 feature maps in one session. Run from the repo root.
 """
 
-import functools
 import json
 import sys
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
@@ -31,31 +29,15 @@ _enable_cache()
 
 import bench  # noqa: E402
 
-
 def measure_frame(iters=60):
     frame_impl, params_g, params_c, image, calib, engine = bench.build_frame()
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(params_g, params_c, img, n):
-        def body(_, carry):
-            img, c = carry
-            out = frame_impl(params_g, params_c, img, img, calib)
-            return (img + out["mask"].astype(jnp.float32).sum() * 1e-12,
-                    out["recon_counts"])
-        return jax.lax.fori_loop(
-            0, n, body, (img, jnp.zeros((1,), jnp.int32)))
+    def frame(params_g, params_c, img):
+        return frame_impl(params_g, params_c, img, img, calib)
 
-    for n in (iters, 2 * iters):
-        out, _ = loop(params_g, params_c, image, n)
-        _ = np.asarray(out[0, 0, 0, 0])
-
-    def run_n(n):
-        out, _ = loop(params_g, params_c, image, n)
-        _ = np.asarray(out[0, 0, 0, 0])
-
-    fps, lower = bench.measure_fps(run_n, iters)
+    fps, lower = bench.marginal_frame_rate(frame, params_g, params_c,
+                                           image, iters)
     return round(fps, 2), round(lower, 2)
-
 
 def main():
     assert bench._MARCH, "r3 A/B expects the march program"
@@ -75,7 +57,6 @@ def main():
 
     out["canary_tflops_bf16_post"] = round(bench.canary_tflops(), 1)
     print(json.dumps(out))
-
 
 if __name__ == "__main__":
     main()

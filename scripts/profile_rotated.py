@@ -16,7 +16,6 @@ Usage: python scripts/profile_rotated.py  (on the TPU; ~10 min incl.
 compiles, which ride the persistent cache on re-runs).
 """
 
-import functools
 import json
 import sys
 import time
@@ -37,23 +36,14 @@ import bench  # noqa: E402  (run from the repo root)
 
 def measure(engine, netC, params_g, params_c, image, calib, use_taps,
             use_grid, iters=40):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(params_g, params_c, img, n):
-        def body(_, img):
-            out = engine._frame_impl(params_g, params_c, img,
-                                     img if netC is not None else None,
-                                     calib, use_taps=use_taps,
-                                     use_grid=use_grid)
-            return img + out["mask"].astype(jnp.float32).sum() * 1e-12
-        return jax.lax.fori_loop(0, n, body, img)
+    def frame(params_g, params_c, img):
+        return engine._frame_impl(params_g, params_c, img,
+                                  img if netC is not None else None,
+                                  calib, use_taps=use_taps,
+                                  use_grid=use_grid)
 
-    for n in (iters, 2 * iters):
-        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
-
-    def run_n(n):
-        _ = np.asarray(loop(params_g, params_c, image, n)[0, 0, 0, 0])
-
-    fps, lower = bench.measure_fps(run_n, iters)
+    fps, lower = bench.marginal_frame_rate(frame, params_g, params_c,
+                                           image, iters)
     return round(fps, 2), round(lower, 2)
 
 

@@ -138,33 +138,64 @@ def test_engine_march_mode(setup):
     assert outs["depth"].shape == (2, 33, 33)
 
 
-def test_engine_rotated_march_matches_per_point_refine(setup):
-    """The rotated-calib march pyramid rides ONLY the generic per-point
-    query, so its fine pass must equal the same pyramid driven without
-    any taps/grid structure on a frontal calib too — i.e. the per-point
-    fallback inside ray_pyramid is the exact same arithmetic whichever
-    calib selected it. Guards the new march_rotated gating."""
-    from monoport_tpu.recon.calib import pifu_calib
-    from monoport_tpu.render.camera import orbit_extrinsic
-
-    netG, _, params_g, _, image, _ = setup
+def test_engine_per_point_march_matches_taps_march(setup):
+    """The march_rotated route rides ONLY the generic per-point query.
+    On a FRONTAL calib the same pyramid runs through the taps-structured
+    query, so driving the per-point route there (use_ray_query=False
+    makes every calib taps-ineligible) must reproduce the taps-route
+    output — the real guard that the per-point march computes the same
+    surface as the structured one."""
+    netG, _, params_g, _, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    rot = jnp.asarray(pifu_calib(orbit_extrinsic(25.0, 10.0),
-                                 np.eye(4, dtype=np.float32)))
     eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
                       fine_res=33, ray_taps=4, march_levels=(9, 17))
-    # use_ray_query=False forces qt=None on every calib: the march must
-    # then take the identical per-point route the rotated frame takes
     plain = ReconEngine(netG, None, recon=recon, render_size=32,
                         mode="ray", fine_res=33, ray_taps=4,
                         march_levels=(9, 17), use_ray_query=False,
                         march_rotated=True)
-    out_a = eng.frame(params_g, image, calib=rot)
-    out_b = plain.frame(params_g, image, calib=rot)
-    np.testing.assert_array_equal(np.asarray(out_a["depth"]),
-                                  np.asarray(out_b["depth"]))
-    np.testing.assert_array_equal(np.asarray(out_a["valid"]),
-                                  np.asarray(out_b["valid"]))
+    out_a = eng.frame(params_g, image, calib=calib)     # taps route
+    out_b = plain.frame(params_g, image, calib=calib)   # per-point route
+    assert "sdf" not in out_a and "sdf" not in out_b    # both marched
+    # a random-init net sits at occupancy ~0.5 everywhere, so last-bit
+    # reassociation can flip `> 0.5` on knife-edge rays — require
+    # near-total agreement (same policy as test_engine_grid_path_*)
+    a = np.asarray(out_a["depth"], np.float64)
+    b = np.asarray(out_b["depth"], np.float64)
+    assert (np.abs(a - b) > 2e-5).mean() < 0.005
+    va = np.asarray(out_a["valid"])
+    vb = np.asarray(out_b["valid"])
+    assert (va != vb).mean() < 0.005
+
+
+def test_engine_march_gate_keeps_hierarchy_for_ineligible_nets():
+    """Frontal frames whose net cannot build the ray head (soft-onehot
+    normalizer) must keep the r2 hierarchy path — the march gate requires
+    qt on the frontal branch (review finding: the gate briefly marched
+    these per-point, silently dropping 'sdf')."""
+    from monoport_tpu.config import CN
+    from monoport_tpu.models import MonoPortNet
+
+    g = CN()
+    g.projection = "orthogonal"
+    g.backbone = CN({"IMF": "PIFuHGFilters", "num_stack": 1,
+                     "num_hourglass": 1, "hourglass_dim": 256,
+                     "norm": "group", "hg_down": "ave_pool"})
+    g.normalizer = CN({"IMF": "PIFuNomalizer", "soft_onehot": True,
+                       "soft_dim": 8})
+    g.head = CN({"IMF": "PIFuNetGMLP"})
+    g.loss = CN({"IMF": "MSE"})
+    netG = MonoPortNet(g)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
+                      fine_res=33, ray_taps=4, march_levels=(9, 17),
+                      march_rotated=False)
+    out = eng.frame(params_g, image, calib=calib)
+    assert "sdf" in out  # hierarchy ran: qt is None for soft-onehot
 
 
 def test_engine_batched_frames(setup):
