@@ -43,6 +43,10 @@ def main(argv=None):
                         "clothing displacement, textured appearance "
                         "(VERDICT r2 item 2); the plain look stays in "
                         "distribution")
+    parser.add_argument("--sigma", type=float, default=None,
+                        help="surface-sample sigma override (default: the "
+                        "per-mode value, 0.035 hard / 0.05 plain — the "
+                        "r3-decisive quality lever, DESIGN.md)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--init_from", default=None,
@@ -65,7 +69,7 @@ def main(argv=None):
     # backend (thousands of ops for the 4-stack hourglass — see DESIGN.md)
     ex = jax.jit(functools.partial(synth_train_batch, batch=args.batch,
                                    size=args.size, n_points=args.points,
-                                   hard=bool(args.hard)))(
+                                   hard=bool(args.hard), sigma=args.sigma))(
         jax.random.PRNGKey(1))
     variables = jax.jit(functools.partial(net.init, train=True))(
         k_init, ex["images"], ex["points"], ex["calibs"],
@@ -91,7 +95,7 @@ def main(argv=None):
     def step(carry, k):
         params, opt_state = carry
         batch = synth_train_batch(k, args.batch, args.size, args.points,
-                                  hard=bool(args.hard))
+                                  hard=bool(args.hard), sigma=args.sigma)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss

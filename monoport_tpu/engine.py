@@ -41,7 +41,8 @@ class ReconEngine:
                  use_pallas: bool = False, pallas_interpret: bool = False,
                  use_ray_query: bool = True,
                  march_levels: Optional[tuple] = None,
-                 march_rotated: bool = True, mesh=None):
+                 march_rotated: bool = True,
+                 compact_rotated: Optional[float] = None, mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -66,6 +67,14 @@ class ReconEngine:
         clip space, RTL/recon.py:5-25), so the geometry needs no
         taps/grid structure. False restores the r2 behavior (hierarchy
         fallback, which keeps 'sdf' in the output for rotated frames).
+        compact_rotated: e.g. 0.625 — on the rotated per-point march,
+        query only the coarse-valid rays of each refine level AND only
+        the valid texture pixels, padded to this fraction of the lattice
+        (ray_refine._refine_core_compact). Valid-ray geometry is
+        unchanged; coarse-rejected rays keep the coarse fallback their
+        misses produce anyway; budget overflow degrades to the coarse
+        silhouette. None = dense per-point queries (bit-exact r3
+        behavior).
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -90,6 +99,7 @@ class ReconEngine:
         self.use_ray_query = use_ray_query
         self.march_levels = tuple(march_levels) if march_levels else None
         self.march_rotated = march_rotated
+        self.compact_rotated = compact_rotated
         if self.march_levels:
             assert mode == "ray" and direction == "front", \
                 "march_levels requires mode='ray' and the frontal viewer"
@@ -285,7 +295,7 @@ class ReconEngine:
         return color_grid
 
     def _texture_canvas(self, maps, resolution: int, color_grid=None,
-                        query_color=None):
+                        query_color=None, compact: Optional[float] = None):
         """Texture canvas with the bbox window, for BOTH color queries.
 
         When a fine-pass window is configured (`ray_window`), the color
@@ -304,7 +314,14 @@ class ReconEngine:
         surface_world_points (RTL/main.py:204-210 semantics) factors into
         per-axis vectors + the per-ray surface z. ``query_color`` (rotated
         view frames): the exact per-point query on the same window lattice
-        — the window cuts its gather+MLP cost the same way."""
+        — the window cuts its gather+MLP cost the same way.
+
+        ``compact``: per-point branch only — query just the window pixels
+        whose ray is valid (padded to this fraction of the window lattice,
+        ray_refine._compact_rays); unqueried pixels stay background-white.
+        Colors at valid pixels are identical; the final canvas masks by
+        ``maps.valid`` anyway, so this only skips MLP+gather work the
+        mask was about to discard (the rotated-texture cost lever)."""
         r = resolution
         b_min = jnp.asarray(self.recon.b_min, jnp.float32)
         b_max = jnp.asarray(self.recon.b_max, jnp.float32)
@@ -333,10 +350,27 @@ class ReconEngine:
         if color_grid is not None:
             color_w = color_grid(xw, yw, zw)
         else:
-            pts = jnp.stack([jnp.broadcast_to(xw[:, None], (w, w)),
-                             jnp.broadcast_to(yw[None, :], (w, w)),
-                             zw], axis=-1).reshape(1, -1, 3)
-            color_w = query_color(pts)[0].reshape(w, w, 3)
+            from .recon.ray_refine import _compact_rays
+            budget = _compact_rays(compact, w, w)
+            if budget:
+                # query only valid-ray window pixels; the rest stay white
+                # (display background) and are masked by maps.valid below
+                v_w = _sample_grid(maps.valid.astype(jnp.float32),
+                                   aw, bw) > 0.0
+                idx = jnp.flatnonzero(v_w.reshape(-1), size=budget,
+                                      fill_value=w * w)
+                safe = jnp.where(idx < w * w, idx, 0)
+                pts = jnp.stack([xw[safe // w], yw[safe % w],
+                                 zw.reshape(-1)[safe]],
+                                axis=-1)[None]               # [1, K, 3]
+                col = query_color(pts)[0]                    # [K, 3]
+                color_w = jnp.ones((w * w, 3), col.dtype).at[idx].set(
+                    col, mode="drop").reshape(w, w, 3)
+            else:
+                pts = jnp.stack([jnp.broadcast_to(xw[:, None], (w, w)),
+                                 jnp.broadcast_to(yw[None, :], (w, w)),
+                                 zw], axis=-1).reshape(1, -1, 3)
+                color_w = query_color(pts)[0].reshape(w, w, 3)
         fr = jnp.arange(r, dtype=jnp.float32)
         u = jnp.clip((fr - x0) / sx, 0.0, w - 1)
         v = jnp.clip((fr - y0) / sy, 0.0, w - 1)
@@ -393,7 +427,9 @@ class ReconEngine:
                                b_min=self.recon.b_min,
                                b_max=self.recon.b_max,
                                window=self.ray_window, query_taps_fn=qt,
-                               query_grid_fn=qg)
+                               query_grid_fn=qg,
+                               compact=(self.compact_rotated
+                                        if not use_taps else None))
         else:
             vol, counts = self.recon(query_occ, return_counts=True)
             if self.mode == "ray":
@@ -442,8 +478,10 @@ class ReconEngine:
                                            method="query",
                                            head_fn=head_c)[0]
 
-                tex_canvas = self._texture_canvas(maps, resolution,
-                                                  query_color=query_color)
+                tex_canvas = self._texture_canvas(
+                    maps, resolution, query_color=query_color,
+                    compact=(self.compact_rotated if not use_taps
+                             else None))
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
         return out

@@ -63,7 +63,8 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  ax: jax.Array, by: jax.Array, rf: int, taps: int,
                  scale: float, balance_value: float, b_min, b_max,
                  spacing=(1.0, 1.0), query_taps_fn: Callable | None = None,
-                 query_grid_fn: Callable | None = None):
+                 query_grid_fn: Callable | None = None,
+                 compact_budget: int | None = None):
     """Shared fine pass over an outer-product ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
@@ -78,22 +79,35 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     [1,R,T] z world -> [1,R,T] occupancy) — the fused gather-once-per-ray
     path (ops/pallas/fused_ray_mlp.py) — else the generic per-point
     ``query_fn`` runs on the flattened [1, R*T, 3] batch.
+    compact_budget: per-point path only — query just the coarse-valid
+    rays (padded to this static budget) instead of the full lattice.
+    Valid-ray results are identical (their taps are the same points);
+    rays the coarse pass already rejected keep the coarse fallback they
+    would get anyway when their taps miss. Budget overflow degrades to
+    the coarse silhouette for the dropped rays (never holes). The
+    structured fast paths ignore this (their lattices must stay dense).
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
     pad = math.ceil(scale) + 1
     offsets = jnp.linspace(-pad, pad + 1, taps, dtype=jnp.float32)
-    c_taps = depth_f[..., None] + offsets                       # [H, W, T]
-    c_taps = jnp.clip(c_taps, 0.0, rf - 1)
 
     b_min = jnp.asarray(b_min, jnp.float32)
     b_max = jnp.asarray(b_max, jnp.float32)
     step = (b_max - b_min) / (rf - 1)
     h, w = depth_f.shape
-    # vol index i = rf-1-c (depth_peel convention); world from (x, y, i)
-    wz = ((rf - 1) - c_taps) * step[2] + b_min[2]               # [H, W, T]
     xw1 = ax * step[0] + b_min[0]                               # [H]
     yw1 = by * step[1] + b_min[1]                               # [W]
+
+    if compact_budget and query_grid_fn is None and query_taps_fn is None:
+        return _refine_core_compact(query_fn, depth_f, valid_f, xw1, yw1,
+                                    rf, offsets, balance_value, step, b_min,
+                                    spacing, compact_budget)
+
+    c_taps = depth_f[..., None] + offsets                       # [H, W, T]
+    c_taps = jnp.clip(c_taps, 0.0, rf - 1)
+    # vol index i = rf-1-c (depth_peel convention); world from (x, y, i)
+    wz = ((rf - 1) - c_taps) * step[2] + b_min[2]               # [H, W, T]
     if query_grid_fn is not None:
         vals = query_grid_fn(xw1, yw1, wz).astype(jnp.float32)
     elif query_taps_fn is not None:
@@ -120,21 +134,68 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     # thin-limb scene; the reference's silhouette is likewise the fine
     # volume's own support, RTL/recon.py:56-60)
     valid = hit & valid_f
+    dvdz = (v1 - v2) / jnp.maximum(c1 - c2, 1e-6)   # occupancy slope along c
+    return _normals_from_maps(z, dvdz, v2 - v1, valid, h, w, spacing)
 
+
+def _normals_from_maps(z, dvdz, nz, valid, h, w, spacing):
     # normals: z-gradient from adjacent taps; x/y from neighbor-ray depth
     # differences (2-sample backward differences like RTL/recon.py:81-87,
     # expressed on the depth field: dv/dx ≈ -dz/dx * dv/dz)
-    dvdz = (v1 - v2) / jnp.maximum(c1 - c2, 1e-6)   # occupancy slope along c
     zpad_a = jnp.pad(z, ((2, 0), (0, 0)), mode="edge")[:h]
     zpad_b = jnp.pad(z, ((0, 0), (2, 0)), mode="edge")[:, :w]
     # v(x-2) - v(x) at fixed c ≈ (z(x-2) - z(x)) * dv/dc  (surface shift)
     norm_x = (z - zpad_a) * dvdz / spacing[0]
     norm_y = (z - zpad_b) * dvdz / spacing[1]
-    norm_z = v2 - v1
-    norm = jnp.stack([norm_x, norm_y, norm_z], axis=-1)
+    norm = jnp.stack([norm_x, norm_y, nz], axis=-1)
     norm = norm / jnp.maximum(
         jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-9)
     return SurfaceMaps(depth=z, normal=norm, valid=valid)
+
+
+def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
+                         rf: int, offsets, balance_value: float, step,
+                         b_min, spacing, budget: int):
+    """Compacted per-point fine pass: gather the coarse-valid rays (padded
+    to ``budget``), query only their taps, scatter the crossing results
+    back onto the full lattice. Rotated-view frames force the per-point
+    query (no taps/grid structure) but only ~35-55% of the windowed rays
+    are coarse-valid — this trades one small gather/scatter pair for ~45%
+    of the frame's dominant MLP+feature-gather cost (r3 rotated ledger)."""
+    h, w = depth_f.shape
+    n = h * w
+    flat_valid = valid_f.reshape(-1)
+    idx = jnp.flatnonzero(flat_valid, size=budget, fill_value=n)  # [K]
+    sel_ok = idx < n
+    safe = jnp.where(sel_ok, idx, 0)
+    d_sel = depth_f.reshape(-1)[safe]                            # [K]
+    c_taps = jnp.clip(d_sel[:, None] + offsets, 0.0, rf - 1)     # [K, T]
+    wz = ((rf - 1) - c_taps) * step[2] + b_min[2]
+    wx = xw1[safe // w]
+    wy = yw1[safe % w]
+    taps = offsets.shape[0]
+    pts = jnp.stack([jnp.broadcast_to(wx[:, None], (budget, taps)),
+                     jnp.broadcast_to(wy[:, None], (budget, taps)), wz],
+                    axis=-1).reshape(1, -1, 3)
+    vals = query_fn(pts)[0, :, 0].reshape(budget, taps).astype(jnp.float32)
+
+    z, hit, v1, v2, c1, c2 = _first_crossing(vals, c_taps, balance_value)
+    z = jnp.where(hit, jnp.clip(z, 0.0, float(rf)), d_sel)
+    dvdz = (v1 - v2) / jnp.maximum(c1 - c2, 1e-6)
+
+    # scatter back (mode='drop' ignores the fill rows); unqueried rays
+    # keep the coarse depth / a viewer-facing normal, and — on budget
+    # overflow only — the coarse silhouette instead of a hole
+    scat = lambda init, upd: init.reshape(-1).at[idx].set(
+        upd, mode="drop").reshape(h, w)
+    z_full = scat(depth_f, z)
+    hit_full = scat(jnp.zeros((h, w), bool), hit)
+    queried = scat(jnp.zeros((h, w), bool), sel_ok)
+    dvdz_full = scat(jnp.zeros((h, w), jnp.float32), dvdz)
+    nz_full = scat(jnp.full((h, w), -1.0, jnp.float32), v2 - v1)
+    valid = jnp.where(queried, hit_full, valid_f) & valid_f
+    return _normals_from_maps(z_full, dvdz_full, nz_full, valid, h, w,
+                              spacing)
 
 
 def _upsampled_coarse(coarse: SurfaceMaps, rf: int, scale: float):
@@ -181,16 +242,29 @@ def ray_refine(query_fn: Callable, vol_coarse: jax.Array, fine_res: int,
                             query_grid_fn=query_grid_fn)
 
 
+def _compact_rays(compact: float | None, h: int, w: int) -> int | None:
+    """Ray budget for the compacted per-point fine pass: ``compact`` x the
+    lattice size, rounded up to a 256 multiple (None/1.0 -> dense)."""
+    if not compact or compact >= 1.0:
+        return None
+    return min(-(-int(h * w * compact) // 256) * 256, h * w)
+
+
 def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                      fine_res: int, taps: int = 6,
                      balance_value: float = 0.5,
                      b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
                      window: int | None = None,
                      query_taps_fn: Callable | None = None,
-                     query_grid_fn: Callable | None = None) -> SurfaceMaps:
+                     query_grid_fn: Callable | None = None,
+                     compact: float | None = None) -> SurfaceMaps:
     """Fine pass from coarse per-ray maps (rc^2 grid, depth in rc-voxel
     units) instead of a coarse volume — the shared tail of ``ray_refine``
-    and the volume-free ``ray_pyramid``."""
+    and the volume-free ``ray_pyramid``.
+
+    ``compact``: per-point path only — query just the coarse-valid rays,
+    padded to a static budget of this fraction of the lattice
+    (_refine_core_compact; the rotated-view cost lever)."""
     rf = fine_res
     scale = (rf - 1) / (rc - 1)
     depth_f, valid_f = _upsampled_coarse(coarse, rf, scale)
@@ -200,7 +274,8 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
         return _refine_core(query_fn, depth_f, valid_f, a, a, rf, taps,
                             scale, balance_value, b_min, b_max,
                             query_taps_fn=query_taps_fn,
-                            query_grid_fn=query_grid_fn)
+                            query_grid_fn=query_grid_fn,
+                            compact_budget=_compact_rays(compact, rf, rf))
 
     # --- adaptive windowed fine pass ---
     # window x window rays are spread over the subject's bbox (from the
@@ -220,7 +295,9 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                           balance_value, b_min, b_max,
                           spacing=(sx_stride, sy_stride),
                           query_taps_fn=query_taps_fn,
-                          query_grid_fn=query_grid_fn)
+                          query_grid_fn=query_grid_fn,
+                          compact_budget=_compact_rays(compact, window,
+                                                       window))
 
     # resample the refined window back onto the full fine grid (exact
     # gather when stride == 1); outside the window keep the coarse maps
@@ -319,12 +396,15 @@ def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
                 b_min=(-1.0, -1.0, -1.0), b_max=(1.0, 1.0, 1.0),
                 window: int | None = None,
                 query_taps_fn: Callable | None = None,
-                query_grid_fn: Callable | None = None) -> SurfaceMaps:
+                query_grid_fn: Callable | None = None,
+                compact: float | None = None) -> SurfaceMaps:
     """Volume-free coarse-to-fine surface localization, all per-ray:
     dense march at levels[0], then successive ``refine_from_maps`` passes
     through the remaining levels and finally ``fine_res`` (with the
     optional bbox window). Plays the role of hierarchy + depth_peel +
-    ray_refine on the frontal real-time path with zero 3D volume ops."""
+    ray_refine on the frontal real-time path with zero 3D volume ops.
+    ``compact``: per-point path only — each refine level queries just its
+    coarse-valid rays at this budget fraction (the rotated-view lever)."""
     maps = ray_march(query_fn, levels[0], balance_value, b_min, b_max,
                      query_taps_fn=query_taps_fn,
                      query_grid_fn=query_grid_fn)
@@ -333,12 +413,13 @@ def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
                                 balance_value=balance_value,
                                 b_min=b_min, b_max=b_max,
                                 query_taps_fn=query_taps_fn,
-                                query_grid_fn=query_grid_fn)
+                                query_grid_fn=query_grid_fn,
+                                compact=compact)
     return refine_from_maps(query_fn, maps, levels[-1], fine_res,
                             taps=taps, balance_value=balance_value,
                             b_min=b_min, b_max=b_max, window=window,
                             query_taps_fn=query_taps_fn,
-                            query_grid_fn=query_grid_fn)
+                            query_grid_fn=query_grid_fn, compact=compact)
 
 
 def _sample_grid(img: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:

@@ -242,13 +242,16 @@ def gt_texture_canvas(depth, valid, resolution: int, base_color=None):
     return jnp.where(valid[..., None], gt, 1.0)
 
 
-def synth_item(key, size: int, n_points: int, hard: bool = False):
+def synth_item(key, size: int, n_points: int, hard: bool = False,
+               sigma: float | None = None):
     """-> dict(image [S,S,3], points [N,3], labels [N,1], calib [4,4]).
 
     hard=True: the r3 curriculum — wider scales (0.45-1.0), harder poses,
     more out-of-plane motion, clothing-like radial displacement and
     textured/tinted appearance (VERDICT r2 item 2). The plain default
-    look stays inside this distribution (amp ranges include ~0)."""
+    look stays inside this distribution (amp ranges include ~0).
+    sigma: override the surface-sample sigma (None keeps the per-mode
+    default — the r3-decisive quality lever, DESIGN.md)."""
     k_skel, k_pts, k_cloth, k_app = jax.random.split(key, 4)
     if hard:
         caps = skeleton3d(k_skel, scale_range=(0.45, 1.0),
@@ -257,11 +260,11 @@ def synth_item(key, size: int, n_points: int, hard: bool = False):
         app = sample_appearance(k_app)
         # tighter surface sigma concentrates supervision at the boundary
         # (the silhouette is where IOU is won; +-0.035 = +-4.5 fine voxels)
-        sigma = 0.035
+        sigma = 0.035 if sigma is None else sigma
     else:
         caps = skeleton3d(k_skel)
         app = None
-        sigma = 0.05
+        sigma = 0.05 if sigma is None else sigma
     image, mask = render_front(caps, size, appearance=app)
     pts, labels = sample_points(k_pts, caps, n_points, sigma=sigma)
     return {"image": image, "points": pts, "labels": labels,
@@ -269,10 +272,10 @@ def synth_item(key, size: int, n_points: int, hard: bool = False):
 
 
 def synth_train_batch(key, batch: int, size: int, n_points: int,
-                      hard: bool = False):
+                      hard: bool = False, sigma: float | None = None):
     """Train-step batch dict (images/points/calibs/labels), all on-device."""
     items = jax.vmap(functools.partial(
-        synth_item, size=size, n_points=n_points, hard=hard))(
+        synth_item, size=size, n_points=n_points, hard=hard, sigma=sigma))(
             jax.random.split(key, batch))
     return {"images": items["image"], "points": items["points"],
             "calibs": items["calib"], "labels": items["labels"]}

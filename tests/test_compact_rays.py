@@ -1,0 +1,167 @@
+"""Compacted per-point fine pass (ray_refine._refine_core_compact) — the
+rotated-view cost lever: query only coarse-valid rays (static budget),
+scatter the results back. Contract: valid-ray geometry is IDENTICAL to the
+dense per-point pass; coarse-rejected rays keep their coarse fallback;
+budget overflow degrades to the coarse silhouette (never holes)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from monoport_tpu.recon.ray_refine import _compact_rays, ray_pyramid
+
+
+def _sphere_query(pts, center=(0.0, -0.1, 0.05), radius=0.42):
+    d = jnp.linalg.norm(pts - jnp.asarray(center), axis=-1)
+    return jax.nn.sigmoid((radius - d) * 40.0)[..., None]
+
+
+def _query(pts):
+    return _sphere_query(pts)
+
+
+def _run(compact, window=None):
+    return ray_pyramid(_query, 33, levels=(9, 17), taps=4,
+                       window=window, compact=compact)
+
+
+def test_compact_budget_sizing():
+    assert _compact_rays(None, 33, 33) is None
+    assert _compact_rays(1.0, 33, 33) is None
+    assert _compact_rays(0.625, 33, 33) == 768       # ceil to 256 multiple
+    assert _compact_rays(0.99, 16, 16) == 256        # capped at h*w
+    assert _compact_rays(0.5, 192, 192) == 18432
+
+
+def test_compact_matches_dense_at_valid_rays():
+    dense = _run(None)
+    comp = _run(0.625)
+    vd = np.asarray(dense.valid)
+    vc = np.asarray(comp.valid)
+    # the silhouette is identical (all coarse-valid rays fit the budget)
+    np.testing.assert_array_equal(vd, vc)
+    # depth at valid rays is identical (same taps, same crossing math)
+    np.testing.assert_array_equal(np.asarray(dense.depth)[vd],
+                                  np.asarray(comp.depth)[vd])
+    # normals are identical at valid rays whose backward 2-neighborhood is
+    # valid too (boundary rays reference the depth of skipped invalid
+    # neighbors, which legitimately keep the coarse fallback)
+    interior = vd.copy()
+    for shift in (1, 2):
+        interior[shift:] &= vd[:-shift]
+        interior[:, shift:] &= vd[:, :-shift]
+    np.testing.assert_allclose(np.asarray(dense.normal)[interior],
+                               np.asarray(comp.normal)[interior],
+                               atol=1e-6)
+
+
+def test_compact_matches_dense_windowed():
+    dense = _run(None, window=24)
+    comp = _run(0.625, window=24)
+    vd = np.asarray(dense.valid)
+    np.testing.assert_array_equal(vd, np.asarray(comp.valid))
+    np.testing.assert_array_equal(np.asarray(dense.depth)[vd],
+                                  np.asarray(comp.depth)[vd])
+
+
+def test_compact_overflow_degrades_to_coarse_silhouette():
+    """A budget far below the valid-ray count must not punch holes: the
+    dropped rays keep the coarse silhouette (halo), so the compact valid
+    mask is a SUPERSET of the dense one restricted to queried rays and
+    still covers the subject."""
+    dense = _run(None)
+    tiny = _run(0.05)            # 33^2 * 0.05 -> 256-ray budget, overflows
+    vd = np.asarray(dense.valid)
+    vt = np.asarray(tiny.valid)
+    inter = (vd & vt).sum()
+    assert inter / max(vd.sum(), 1) > 0.95, "overflow punched holes"
+    assert np.isfinite(np.asarray(tiny.depth)).all()
+    assert np.isfinite(np.asarray(tiny.normal)).all()
+
+
+def test_engine_compact_frontal_untouched():
+    """compact_rotated must not perturb frontal frames (grid/taps path):
+    bit-identical output with and without the flag."""
+    from tests.test_engine import _nets
+
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+              ray_taps=4, march_levels=(9, 17), ray_window=24)
+    dense = ReconEngine(netG, netC, **kw)
+    comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
+    out_f_d = dense.frame(params_g, image, params_c, image, calib=calib)
+    out_f_c = comp.frame(params_g, image, params_c, image, calib=calib)
+    np.testing.assert_array_equal(np.asarray(out_f_d["depth"]),
+                                  np.asarray(out_f_c["depth"]))
+    np.testing.assert_array_equal(np.asarray(out_f_d["render_tex"]),
+                                  np.asarray(out_f_c["render_tex"]))
+
+
+def test_engine_compact_rotated_frame_trained():
+    """Rotated-calib frame with compact_rotated vs the dense per-point
+    march, on the TRAINED weights (a real surface — random-init nets sit
+    at occupancy ~0.5 where knife-edge crossings make depth comparisons
+    meaningless): same silhouette, same valid-ray depth, same texture at
+    the reconstructed surface."""
+    import os
+
+    import pytest
+
+    from monoport_tpu.config import get_cfg_defaults
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+    from monoport_tpu.render.camera import orbit_extrinsic
+    from monoport_tpu.training.datasets.capsule import (render_front,
+                                                        skeleton3d)
+    from monoport_tpu.utils.params_io import load_params
+
+    data = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "monoport_tpu", "data")
+    pg = os.path.join(data, "netg_capsule.npz")
+    pc = os.path.join(data, "netc_capsule.npz")
+    if not (os.path.exists(pg) and os.path.exists(pc)):
+        pytest.skip("committed capsule checkpoints absent")
+    cfg = get_cfg_defaults()
+    netG = MonoPortNet(cfg.netG)
+    netC = MonoPortNet(cfg.netC)
+    params_g = {"params": load_params(pg)[0]}
+    params_c = {"params": load_params(pc)[0]}
+
+    caps = skeleton3d(jax.random.PRNGKey(4242))      # held-out body
+    image = render_front(caps, 512)[0][None]
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
+                                 np.eye(4, dtype=np.float32)))
+    recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
+                              select="uncertain")
+    kw = dict(recon=recon, mode="ray", fine_res=65, ray_taps=6,
+              ray_window=48, march_levels=(17, 33))
+    dense = ReconEngine(netG, netC, **kw)
+    comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
+    out_d = dense.frame(params_g, image, params_c, image, calib=rot)
+    out_c = comp.frame(params_g, image, params_c, image, calib=rot)
+
+    vd = np.asarray(out_d["valid"])
+    vc = np.asarray(out_c["valid"])
+    assert vd.sum() > 100                  # the body is actually there
+    assert (vd != vc).mean() < 0.005, "compact changed the silhouette"
+    both = vd & vc
+    dd = np.asarray(out_d["depth"])[both]
+    dc = np.asarray(out_c["depth"])[both]
+    assert (np.abs(dd - dc) > 1e-3).mean() < 0.01, "valid-ray depth moved"
+    td = np.asarray(out_d["render_tex"])
+    tc = np.asarray(out_c["render_tex"])
+    assert np.abs(td - tc).mean() < 0.01, "texture moved"
