@@ -42,7 +42,7 @@ class ReconEngine:
                  use_ray_query: bool = True,
                  march_levels: Optional[tuple] = None,
                  march_rotated: bool = True,
-                 compact_rotated: Optional[float] = None, mesh=None):
+                 compact_rotated: Optional[float] = 0.625, mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -67,14 +67,16 @@ class ReconEngine:
         clip space, RTL/recon.py:5-25), so the geometry needs no
         taps/grid structure. False restores the r2 behavior (hierarchy
         fallback, which keeps 'sdf' in the output for rotated frames).
-        compact_rotated: e.g. 0.625 — on the rotated per-point march,
-        query only the coarse-valid rays of each refine level AND only
-        the valid texture pixels, padded to this fraction of the lattice
+        compact_rotated: on the rotated per-point march, query only the
+        coarse-valid rays of each refine level AND only the valid
+        texture pixels, padded to this fraction of the lattice
         (ray_refine._refine_core_compact). Valid-ray geometry is
         unchanged; coarse-rejected rays keep the coarse fallback their
         misses produce anyway; budget overflow degrades to the coarse
-        silhouette. None = dense per-point queries (bit-exact r3
-        behavior).
+        silhouette. Measured on the trained model (profile_compact_
+        rotated.py, one session): rotated 30.6 -> 32.9 fps with ZERO
+        valid/depth/texture deviation on the bench frame. None = dense
+        per-point queries (the pre-compaction behavior).
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and

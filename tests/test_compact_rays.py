@@ -99,7 +99,7 @@ def test_engine_compact_frontal_untouched():
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
     kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
               ray_taps=4, march_levels=(9, 17), ray_window=24)
-    dense = ReconEngine(netG, netC, **kw)
+    dense = ReconEngine(netG, netC, compact_rotated=None, **kw)
     comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
     out_f_d = dense.frame(params_g, image, params_c, image, calib=calib)
     out_f_c = comp.frame(params_g, image, params_c, image, calib=calib)
@@ -149,7 +149,7 @@ def test_engine_compact_rotated_frame_trained():
                               select="uncertain")
     kw = dict(recon=recon, mode="ray", fine_res=65, ray_taps=6,
               ray_window=48, march_levels=(17, 33))
-    dense = ReconEngine(netG, netC, **kw)
+    dense = ReconEngine(netG, netC, compact_rotated=None, **kw)
     comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
     out_d = dense.frame(params_g, image, params_c, image, calib=rot)
     out_c = comp.frame(params_g, image, params_c, image, calib=rot)

@@ -149,10 +149,13 @@ def test_engine_per_point_march_matches_taps_march(setup):
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
     eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
                       fine_res=33, ray_taps=4, march_levels=(9, 17))
+    # compact_rotated=None: this test isolates the per-point MARCH (vs the
+    # taps route); compaction is covered by tests/test_compact_rays.py and
+    # would add knife-edge scatter on this random-init ~0.5 field
     plain = ReconEngine(netG, None, recon=recon, render_size=32,
                         mode="ray", fine_res=33, ray_taps=4,
                         march_levels=(9, 17), use_ray_query=False,
-                        march_rotated=True)
+                        march_rotated=True, compact_rotated=None)
     out_a = eng.frame(params_g, image, calib=calib)     # taps route
     out_b = plain.frame(params_g, image, calib=calib)   # per-point route
     assert "sdf" not in out_a and "sdf" not in out_b    # both marched
