@@ -58,16 +58,18 @@ def test_trained_engine_reconstructs(nets):
     gt_sil = np.asarray(occ.any(axis=0))
     got = np.asarray(out["valid"]) > 0.5
     iou = (got & gt_sil).sum() / (got | gt_sil).sum()
-    # trained-model quality gate (not path parity): measured 0.906 at this
-    # reduced profile with the committed r3 weights (hard-curriculum netG,
-    # up from 0.743 in r2) — the gate locks in most of that so a visibly
-    # broken model cannot ship green
-    assert iou > 0.85, iou
+    # trained-model quality gate (not path parity): measured 0.920 at this
+    # reduced profile with the committed r3 weights (hard-curriculum netG
+    # + sigma/points fine-tune ladder; r2 measured 0.743, first r3 weights
+    # 0.906) — the gate locks in most of that so a visibly broken model
+    # cannot ship green
+    assert iou > 0.88, iou
 
     # texture quality: PSNR of the rendered color vs the renderer's known
     # shading model at the reconstructed surface (a broken netC measures
-    # ~10-15 dB; the committed r3 weights measure 24.3 dB — trained on the
-    # textured hard curriculum with a 50/50 plain anchor)
+    # ~10-15 dB; the committed r3 weights measure 24.4 dB — trained on the
+    # textured hard curriculum with a 50/50 plain anchor, re-anchored to
+    # the final netG's feature prior)
     from monoport_tpu.recon.depth_peel import visualize
     from monoport_tpu.training.datasets.capsule import gt_texture_canvas
     from monoport_tpu.training.metrics import masked_psnr
@@ -80,7 +82,7 @@ def test_trained_engine_reconstructs(nets):
                                   jnp.asarray(out["valid"]), 129)
     gt_vis, _ = visualize(gt_canvas, eng.render_size)
     psnr, mae = masked_psnr(tex, np.asarray(gt_vis), mask)
-    assert psnr > 22.0, (psnr, mae)
+    assert psnr > 23.0, (psnr, mae)
 
 
 def test_trained_matting_plus_engine(nets):
