@@ -427,7 +427,8 @@ def bench_rotated(real, iters: int = 40):
             else "hierarchy")
     return {"rotated_fps": round(fps, 2),
             "rotated_fps_incl_tunnel_overhead": round(fps_lower, 2),
-            "rotated_mode": mode}
+            "rotated_mode": mode,
+            "rotated_compact": engine.compact_rotated}
 
 
 def bench_backbones(engine, params_g, params_c, image):
