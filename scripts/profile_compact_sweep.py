@@ -50,6 +50,7 @@ def main():
     real = bench._build_real()
     assert real is not None, "committed weights required"
     netG, params_g, netC, params_c, engine = real
+    assert netC is not None, "netc_capsule.npz required (tex spot-check)"
 
     caps = skeleton3d(jax.random.PRNGKey(31337))
     image = render_front(caps, 512)[0][None]
@@ -58,15 +59,31 @@ def main():
     assert not engine._calib_taps_ok(rot)
 
     t0 = time.time()
-    # dense reference output for the quality spot-check
+    # dense reference output for the quality spot-check. compact_rotated
+    # is baked into the trace at compile time: set it BEFORE the first
+    # _frame call on this engine (it hasn't been traced yet here), and
+    # never reuse this engine for a budgeted run.
     engine.compact_rotated = None
     out_d = engine._frame(params_g, params_c, image, image, rot,
                           use_taps=False, use_grid=False)
     vd = np.asarray(out_d["valid"])
 
+    def fresh_engine(budget):
+        # nets/params are reusable; only the ReconEngine (whose jit cache
+        # keys on the instance) must be rebuilt per budget
+        from monoport_tpu.engine import ReconEngine
+        return ReconEngine(netG, netC, recon=engine.recon, mode="ray",
+                           fine_res=engine.fine_res,
+                           ray_taps=engine.ray_taps,
+                           ray_window=engine.ray_window,
+                           compute_dtype=engine.compute_dtype,
+                           use_pallas=engine.use_pallas,
+                           march_levels=engine.march_levels,
+                           march_rotated=engine.march_rotated,
+                           compact_rotated=budget)
+
     for budget in (0.625, 0.5625, 0.5):
-        eng = bench._build_real()[4]
-        eng.compact_rotated = budget
+        eng = fresh_engine(budget)
         key = str(budget).replace(".", "p")
         fps, lower = measure(eng, netC, params_g, params_c, image, rot)
         out[f"fps_{key}"] = fps
@@ -76,9 +93,13 @@ def main():
         vc = np.asarray(out_c["valid"])
         out[f"valid_mismatch_{key}"] = round(float((vd != vc).mean()), 5)
         both = vd & vc
+        out[f"valid_overlap_{key}"] = int(both.sum())
         dd = np.abs(np.asarray(out_d["depth"])[both]
                     - np.asarray(out_c["depth"])[both])
-        out[f"depth_mismatch_{key}"] = round(float((dd > 1e-3).mean()), 5)
+        # fully disjoint valid sets (pathological budget): report the
+        # explicit worst case instead of a NaN mean
+        out[f"depth_mismatch_{key}"] = (
+            round(float((dd > 1e-3).mean()), 5) if both.any() else 1.0)
         out[f"tex_mad_{key}"] = round(float(np.abs(
             np.asarray(out_d["render_tex"])
             - np.asarray(out_c["render_tex"])).mean()), 5)

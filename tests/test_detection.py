@@ -117,9 +117,10 @@ def test_trained_detector_localizes(det):
             ious.append(max(cand) if cand else 0.0)
     assert ious, "no valid people in held-out batch?!"
     # r3 weights measure 0.849 held-out on the hardened curriculum
-    # (0-4 people, 0.25-1.1x scales, occlusion, capsule distractors)
-    assert float(np.mean(ious)) > 0.75, ious
-    assert float(np.min(ious)) > 0.3, ious
+    # (0-4 people, 0.25-1.1x scales, occlusion, capsule distractors);
+    # gates locked to the measured level (VERDICT r3 item 8)
+    assert float(np.mean(ious)) > 0.8, ious
+    assert float(np.min(ious)) > 0.5, ious
 
 
 def test_trained_detector_localizes_512(det):
@@ -138,7 +139,9 @@ def test_trained_detector_localizes_512(det):
                     for m in conf]
             ious.append(max(cand) if cand else 0.0)
     assert ious, "no valid people in held-out batch?!"
-    assert float(np.mean(ious)) > 0.75, ious
+    # gate locked to the measured 0.838 level (VERDICT r3 item 8)
+    assert float(np.mean(ious)) > 0.8, ious
+    assert float(np.min(ious)) > 0.5, ious
 
 
 def test_trained_detector_rejects_background(det):
