@@ -56,6 +56,9 @@ _enable_cache()
 #   BENCH_MARCH_ROTATED=0 rotated view calibs fall back to the hierarchy
 #                         path instead of the per-point march (A/B for the
 #                         free-viewpoint bench section)
+#   BENCH_ROT_ANCHORS     rotated refine anchor mode: "auto" (default,
+#                         per-level K from the calib), an int (pinned K),
+#                         or "0" (exact per-point refines — the r3 path)
 _RAY_QUERY = os.environ.get("BENCH_RAY_QUERY", "1") == "1"
 _BF16_FEATS = os.environ.get("BENCH_BF16_FEATS", "0") == "1"
 _RAY_TAPS = int(os.environ.get("BENCH_RAY_TAPS", "6"))
@@ -63,6 +66,9 @@ _RAY_WINDOW = int(os.environ.get("BENCH_RAY_WINDOW", "192"))
 _MARCH = os.environ.get("BENCH_MARCH", "1") == "1" and _RAY_QUERY
 _MARCH_LEVELS = (33, 65)
 _MARCH_ROTATED = os.environ.get("BENCH_MARCH_ROTATED", "1") == "1"
+_ROT_ANCHORS = os.environ.get("BENCH_ROT_ANCHORS", "auto")
+if _ROT_ANCHORS != "auto":
+    _ROT_ANCHORS = int(_ROT_ANCHORS) or None
 
 
 def canary_tflops() -> float:
@@ -305,7 +311,8 @@ def _build_real():
                          ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
                          compute_dtype=jnp.bfloat16, use_pallas=True,
                          march_levels=_MARCH_LEVELS if _MARCH else None,
-                         march_rotated=_MARCH_ROTATED)
+                         march_rotated=_MARCH_ROTATED,
+                         rot_anchors=_ROT_ANCHORS)
     return netG, params_g, netC, params_c, engine
 
 
@@ -415,11 +422,13 @@ def bench_rotated(real, iters: int = 40):
     calib = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
                                    np.eye(4, dtype=np.float32)))
     assert not engine._calib_taps_ok(calib)
+    rot_k = engine._rot_anchor_plan(calib, image.shape[1])
 
     def frame(params_g, params_c, img):
         return engine._frame_impl(params_g, params_c, img,
                                   img if netC is not None else None,
-                                  calib, use_taps=False, use_grid=False)
+                                  calib, use_taps=False, use_grid=False,
+                                  rot_k=rot_k)
 
     fps, fps_lower = marginal_frame_rate(frame, params_g, params_c, image,
                                          iters)
@@ -428,7 +437,100 @@ def bench_rotated(real, iters: int = 40):
     return {"rotated_fps": round(fps, 2),
             "rotated_fps_incl_tunnel_overhead": round(fps_lower, 2),
             "rotated_mode": mode,
-            "rotated_compact": engine.compact_rotated}
+            "rotated_compact": engine.compact_rotated,
+            "rotated_anchors": str(rot_k)}
+
+
+V5E_PEAK_BF16_TFLOPS = 197.0          # MXU peak, one v5e chip
+V5E_HBM_GBPS = 819.0                  # HBM bandwidth, one v5e chip
+
+
+def _cpu_cost(fn, *args) -> dict:
+    """XLA cost analysis (flops / bytes accessed) of ``fn(*args)`` lowered
+    for CPU — the HLO cost model is platform-independent for dots/convs,
+    so this counts the program's algebraic work without a TPU compile."""
+    compiled = jax.jit(fn, backend="cpu").lower(*args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return {"gflops": float(ca.get("flops", 0.0)) / 1e9,
+            "gbytes": float(ca.get("bytes accessed", 0.0)) / 1e9}
+
+
+def bench_mfu(real, result: dict):
+    """MFU / roofline accounting (VERDICT r3 item 2): count the frame
+    program's FLOPs and HBM bytes with XLA's own cost model, then relate
+    the measured FPS to the chip's peak and to the same-run canary.
+
+    The counted twin runs use_pallas=False (apply_ray_xla and the flax
+    heads are the same arithmetic as the kernels, and pallas_call does not
+    lower for the CPU cost model); dtypes and shapes are the production
+    ones, so the FLOP count is the real program's. ``mfu_pct`` is
+    FLOPs*fps / 197 TF (v5e bf16 peak); ``vs_canary_pct`` uses the
+    session's measured achievable rate instead (chip sharing / relay load
+    cancel out). Arithmetic intensity (FLOP/byte) against the ~240 FLOP/B
+    v5e ridge says whether a program is compute- or HBM-bound; the
+    per-stage split lives in scripts/roofline_stages.py + DESIGN.md."""
+    from monoport_tpu.engine import ReconEngine
+
+    netG, params_g, netC, params_c, engine = real
+    twin = ReconEngine(netG, netC, recon=engine.recon, mode="ray",
+                       fine_res=engine.fine_res, ray_taps=engine.ray_taps,
+                       ray_window=engine.ray_window,
+                       compute_dtype=engine.compute_dtype,
+                       use_pallas=False, use_ray_query=engine.use_ray_query,
+                       march_levels=engine.march_levels,
+                       march_rotated=engine.march_rotated,
+                       compact_rotated=engine.compact_rotated,
+                       rot_anchors=engine.rot_anchors)
+    image = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    front = jnp.eye(4, dtype=jnp.float32)[None]
+    out = {}
+
+    def frame(use_taps, use_grid, calib, rot_k=()):
+        def fn(pg, pc, img):
+            return twin._frame_impl(pg, pc, img,
+                                    img if netC is not None else None,
+                                    calib, use_taps=use_taps,
+                                    use_grid=use_grid, rot_k=rot_k)
+        return _cpu_cost(fn, params_g, params_c, image)
+
+    cost_f = frame(True, True, front)
+    out["frontal_gflops"] = round(cost_f["gflops"], 1)
+    out["frontal_hbm_gb"] = round(cost_f["gbytes"], 2)
+    out["frontal_intensity_flop_per_byte"] = round(
+        cost_f["gflops"] / max(cost_f["gbytes"], 1e-9), 1)
+    fps = result.get("real_fps")
+    if fps:
+        tflops = cost_f["gflops"] * fps / 1e3
+        out["frontal_achieved_tflops"] = round(tflops, 1)
+        out["frontal_mfu_pct"] = round(100 * tflops / V5E_PEAK_BF16_TFLOPS,
+                                       1)
+        out["frontal_hbm_gbps"] = round(cost_f["gbytes"] * fps, 0)
+
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.render.camera import orbit_extrinsic
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
+                                 np.eye(4, dtype=np.float32)))
+    rot_k = twin._rot_anchor_plan(rot, 512)
+    cost_r = frame(False, False, rot, rot_k)
+    out["rotated_gflops"] = round(cost_r["gflops"], 1)
+    out["rotated_hbm_gb"] = round(cost_r["gbytes"], 2)
+    rfps = result.get("rotated_fps")
+    if rfps:
+        tflops = cost_r["gflops"] * rfps / 1e3
+        out["rotated_achieved_tflops"] = round(tflops, 1)
+        out["rotated_mfu_pct"] = round(100 * tflops / V5E_PEAK_BF16_TFLOPS,
+                                       1)
+        out["rotated_hbm_gbps"] = round(cost_r["gbytes"] * rfps, 0)
+    canary = result.get("canary_tflops_bf16")
+    if canary:
+        if fps:
+            out["frontal_mfu_vs_canary_pct"] = round(
+                100 * cost_f["gflops"] * fps / 1e3 / canary, 1)
+        if rfps:
+            out["rotated_mfu_vs_canary_pct"] = round(
+                100 * cost_r["gflops"] * rfps / 1e3 / canary, 1)
+    return out
 
 
 def bench_backbones(engine, params_g, params_c, image):
@@ -671,6 +773,13 @@ def main():
         result["canary_tflops_bf16"] = round(canary_tflops(), 1)
     except Exception:  # noqa: BLE001
         pass
+    try:
+        if os.environ.get("BENCH_MFU", "1") == "1":
+            real = _build_real()
+            if real is not None:
+                result.update(bench_mfu(real, result))
+    except Exception as e:  # noqa: BLE001
+        result["mfu_error"] = repr(e)[:200]
     print(json.dumps(result))
 
 

@@ -385,6 +385,14 @@ def main_loop(args, cfg, state: FrameState):
     print(pipeline.report())
     if last is not None and "recon_counts" in last:
         print(pipeline.engine.band_report(last))
+    if last is not None and "compact_dropped" in last:
+        # rotated-frame compaction overflow: degraded rays/pixels must be
+        # visible, not a green log (engine.compact_report docstring)
+        report = pipeline.engine.compact_report(last)
+        print(report)
+        if "OVERFLOW" in report:
+            import logging
+            logging.getLogger(__name__).warning(report)
     return n
 
 

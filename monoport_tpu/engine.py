@@ -42,7 +42,9 @@ class ReconEngine:
                  use_ray_query: bool = True,
                  march_levels: Optional[tuple] = None,
                  march_rotated: bool = True,
-                 compact_rotated: Optional[float] = 0.625, mesh=None):
+                 compact_rotated: Optional[float] = 0.625,
+                 rot_anchors="auto", rot_anchor_texels: float = 1.0,
+                 mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
         refinement (recon/ray_refine.py) — the real-time path.
@@ -77,6 +79,24 @@ class ReconEngine:
         rotated.py, one session): rotated 30.6 -> 32.9 fps with ZERO
         valid/depth/texture deviation on the bench frame. None = dense
         per-point queries (the pre-compaction behavior).
+        rot_anchors: rotated frames run the REFINE levels through the
+        anchored ray query (monoport_net.query_taps_anchored): under any
+        affine calib a ray's projected (u, v) is linear in the tap z, so
+        features are gathered at K anchor points per ray and every tap
+        combines its two bracketing anchors — gathers and skip
+        x-projections drop from T to K per ray, restoring most of the
+        frontal taps-kernel sharing the rotated lattice loses. (u, v, zc)
+        per tap stay exact; only the feature lerp is approximate, on the
+        scale of its per-segment texel span. "auto" (default) picks K PER
+        REFINE LEVEL from the concrete calib so each segment spans <=
+        rot_anchor_texels feature texels, falling back to exact per-point
+        where K >= taps would be needed (_rot_anchor_plan); an int pins K
+        for every level (tests/sweeps); None/0 = exact per-point refines
+        (the r3 behavior). The initial dense march always stays per-point
+        (its full-volume tap span is too long to lerp). End-to-end
+        deviation vs per-point is measured by scripts/
+        eval_rotated_anchored.py; exactness structure by
+        tests/test_anchored.py.
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -102,6 +122,8 @@ class ReconEngine:
         self.march_levels = tuple(march_levels) if march_levels else None
         self.march_rotated = march_rotated
         self.compact_rotated = compact_rotated
+        self.rot_anchors = rot_anchors
+        self.rot_anchor_texels = rot_anchor_texels
         if self.march_levels:
             assert mode == "ray" and direction == "front", \
                 "march_levels requires mode='ray' and the frontal viewer"
@@ -111,7 +133,8 @@ class ReconEngine:
         # the image-plane rows have no z term; a rotating demo camera must
         # fall back to the exact per-point fine pass)
         self._frame = jax.jit(self._frame_impl,
-                              static_argnames=("use_taps", "use_grid"))
+                              static_argnames=("use_taps", "use_grid",
+                                               "rot_k", "stage"))
         # vmapped variants: keyed on (texture stream?, taps ok?)
         # (in_axes differ; retraces for new shapes are jax.jit's job)
         self._frames_jit: dict[tuple, Any] = {}
@@ -261,6 +284,91 @@ class ReconEngine:
 
         return query_taps
 
+    def _refine_pairs(self) -> list:
+        """(rc, rf) resolution pairs of the refine levels a rotated frame
+        runs, in order — the march pyramid's chain, or the hierarchy
+        fallback's single coarse->fine pass."""
+        if self.march_levels and self.march_rotated:
+            lv = list(self.march_levels) + [self.fine_res]
+            return list(zip(lv[:-1], lv[1:]))
+        if self.mode == "ray":
+            return [(self.recon.resolutions[-1], self.fine_res)]
+        return []
+
+    def _rot_anchor_plan(self, calibs, image_h: int) -> tuple:
+        """Host-side per-refine-level anchor counts for a rotated calib.
+
+        A refine level's taps span (2*pad+1) fine voxels along recon z
+        (ray_refine._refine_core); under the calib they sweep an image-
+        space segment of rot_coeff (the largest z coefficient of the
+        image rows) times that world length. K anchors split it into
+        K-1 lerp segments; K is the smallest count keeping each segment
+        under ~rot_anchor_texels feature texels (the scale on which
+        bilinear samples are near-linear — eval_rotated_anchored.py
+        measures the resulting end-to-end deviation). Levels that would
+        need K >= taps gain nothing and fall back to exact per-point
+        (None). Fixed-int rot_anchors pins every level (tests/sweeps)."""
+        import math
+
+        import numpy as np
+        if not self.rot_anchors or not self._refine_pairs():
+            return ()
+        pairs = self._refine_pairs()
+        if self.rot_anchors != "auto":
+            return tuple(int(self.rot_anchors) for _ in pairs)
+        c = np.asarray(calibs)
+        rot_coeff = float(np.abs(c[..., :2, 2]).max())
+        feat_hw = max(image_h // 4, 2)          # stride-4 backbones
+        z_range = float(self.recon.b_max[2] - self.recon.b_min[2])
+        plan = []
+        for rc, rf in pairs:
+            scale = (rf - 1) / (rc - 1)
+            pad = math.ceil(scale) + 1
+            world_span = (2 * pad + 1) * z_range / (rf - 1)
+            texels = rot_coeff * world_span * 0.5 * (feat_hw - 1)
+            k = max(2, math.ceil(texels / self.rot_anchor_texels) + 1)
+            plan.append(k if k < self.ray_taps else None)
+        return tuple(plan)
+
+    def _query_anchored_fn(self, net: MonoPortNet, params: Any, feats,
+                           calib, anchors: int):
+        """Anchored ray occupancy query for ROTATED-calib refine passes
+        (same [B,R,2] xy + [B,R,T] z -> [B,R,T] contract as
+        `_query_taps_fn`, valid for ANY affine calib), or None when the
+        net config can't use it (soft-onehot z, non-orthogonal
+        projection)."""
+        from .config import CN
+        from .models.heads import HEAD_SPECS
+        from .ops.pallas.fused_ray_mlp import (apply_anchor_packed,
+                                               apply_anchor_xla,
+                                               pack_ray_mlp_params)
+
+        opt = CN(net.opt_net)
+        if opt.projection != "orthogonal" or \
+                opt.normalizer.get("soft_onehot", False):
+            return None
+        last_op = HEAD_SPECS[opt.head.IMF][1]
+        dtype = self.compute_dtype
+        packed = pack_ray_mlp_params(params["params"]["surface_classifier"],
+                                     dtype=dtype)
+        if self.use_pallas:
+            head = functools.partial(apply_anchor_packed, packed,
+                                     last_op=last_op, compute_dtype=dtype,
+                                     interpret=self.pallas_interpret)
+        else:
+            head = functools.partial(apply_anchor_xla, packed,
+                                     last_op=last_op, compute_dtype=dtype)
+        head = self._shard_map_head(head)
+
+        def query_anchored(xy, z_taps):
+            xy = self._shard_points(xy)
+            z_taps = self._shard_points(z_taps)
+            return net.apply(params, feats, xy, z_taps, calib,
+                             method="query_taps_anchored", anchors=anchors,
+                             head_anchor_fn=head)[..., 0]
+
+        return query_anchored
+
     def _query_grid_fn(self, net: MonoPortNet, params: Any, feats, calib):
         """Grid-structured occupancy query (separable gather-free feature
         sampling, ops/sampling.index_grid) for outer-product ray lattices,
@@ -297,7 +405,8 @@ class ReconEngine:
         return color_grid
 
     def _texture_canvas(self, maps, resolution: int, color_grid=None,
-                        query_color=None, compact: Optional[float] = None):
+                        query_color=None, compact: Optional[float] = None,
+                        telemetry: Optional[list] = None):
         """Texture canvas with the bbox window, for BOTH color queries.
 
         When a fine-pass window is configured (`ray_window`), the color
@@ -359,6 +468,11 @@ class ReconEngine:
                 # (display background) and are masked by maps.valid below
                 v_w = _sample_grid(maps.valid.astype(jnp.float32),
                                    aw, bw) > 0.0
+                if telemetry is not None:
+                    # valid pixels beyond the budget keep the white
+                    # background — count them (frame 'compact_dropped')
+                    telemetry.append(jnp.maximum(
+                        v_w.sum(dtype=jnp.int32) - budget, 0))
                 idx = jnp.flatnonzero(v_w.reshape(-1), size=budget,
                                       fill_value=w * w)
                 safe = jnp.where(idx < w * w, idx, 0)
@@ -390,13 +504,22 @@ class ReconEngine:
 
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
                     image_c: Optional[jax.Array], calib: jax.Array,
-                    use_taps: bool = True, use_grid: bool = False):
+                    use_taps: bool = True, use_grid: bool = False,
+                    rot_k: tuple = (), stage: Optional[str] = None):
+        """``stage``: optional prefix truncation for the stage profilers
+        and the roofline cost model (scripts/profile_stages_*,
+        scripts/roofline_stages.py) — 'filter' | 'recon' | 'shade' |
+        'cfilter' stop after that stage and return {'mask': scalar dep}
+        (plus whatever is already computed), so consecutive prefixes
+        difference into per-stage costs. None = the full frame."""
         params_g = self._cast(params_g)
         params_c = self._cast(params_c)
         image_g = self._cast(image_g)
         image_c = self._cast(image_c)
         feats_g = self.netG.apply(params_g, image_g, method="filter")
         feats_g = self._feats_f32(feats_g)
+        if stage == "filter":
+            return {"mask": feats_g[-1][-1].astype(jnp.float32).sum()}
         head_g = self._head_fn(self.netG, params_g)
 
         def query_occ(pts):
@@ -408,6 +531,16 @@ class ReconEngine:
               if use_taps else None)
         qg = (self._query_grid_fn(self.netG, params_g, feats_g, calib)
               if (use_taps and use_grid) else None)
+        # rotated frames: anchored ray query per refine level (exact ray
+        # geometry, K-anchor feature lerp, K from the host-side plan);
+        # the dense march stays per-point (full-volume tap spans)
+        qa = None
+        if not use_taps and rot_k:
+            qa = [self._query_anchored_fn(self.netG, params_g, feats_g,
+                                          calib, anchors=k)
+                  if k else None for k in rot_k]
+            if not any(qa):
+                qa = None
         # the march pyramid runs on frontal taps-eligible frames (ray/grid
         # structured queries) AND — geometry is calib-agnostic, the march
         # axis is the view ray for any calib — on taps-ineligible frames
@@ -418,6 +551,7 @@ class ReconEngine:
         march = self.march_levels and (
             (use_taps and qt is not None)
             or (not use_taps and self.march_rotated))
+        compact_telem: list = []
         if march:
             # volume-free fast path: no hierarchy, no depth peel, no sdf
             from .recon.ray_refine import ray_pyramid
@@ -428,10 +562,12 @@ class ReconEngine:
                                balance_value=self.recon.balance_value,
                                b_min=self.recon.b_min,
                                b_max=self.recon.b_max,
-                               window=self.ray_window, query_taps_fn=qt,
-                               query_grid_fn=qg,
+                               window=self.ray_window,
+                               query_taps_fn=qt if use_taps else qa,
+                               query_grid_fn=qg, march_taps=use_taps,
                                compact=(self.compact_rotated
-                                        if not use_taps else None))
+                                        if not use_taps else None),
+                               telemetry=compact_telem)
         else:
             vol, counts = self.recon(query_occ, return_counts=True)
             if self.mode == "ray":
@@ -444,15 +580,22 @@ class ReconEngine:
                                   b_max=self.recon.b_max,
                                   direction=self.direction,
                                   window=self.ray_window,
-                                  query_taps_fn=qt, query_grid_fn=qg)
+                                  query_taps_fn=(qt if use_taps else
+                                                 (qa[-1] if qa else None)),
+                                  query_grid_fn=qg)
             else:
                 resolution = self.recon.resolutions[-1]
                 maps = depth_peel(vol, self.direction,
                                   self.recon.balance_value)
+        if stage == "recon":
+            return {"mask": maps.depth.sum()
+                    + maps.valid.astype(jnp.float32).sum()}
         norm_canvas = shade_normal(maps)
         render_norm, mask = visualize(norm_canvas, self.render_size)
         out = {"depth": maps.depth, "valid": maps.valid,
                "render_norm": render_norm, "mask": mask}
+        if stage == "shade":
+            return out
         if vol is not None:
             out["sdf"] = vol
         if counts:
@@ -465,6 +608,10 @@ class ReconEngine:
             feats_c = self.netC.apply(params_c, image_c, feat_prior,
                                       method="filter")
             feats_c = self._feats_f32(feats_c)
+            if stage == "cfilter":
+                out["mask"] = (mask.astype(jnp.float32).sum()
+                               + feats_c[-1][-1].astype(jnp.float32).sum())
+                return out
             head_c = self._head_fn(self.netC, params_c)
 
             color_grid = (self._grid_color_fn(self.netC, params_c, feats_c,
@@ -483,9 +630,15 @@ class ReconEngine:
                 tex_canvas = self._texture_canvas(
                     maps, resolution, query_color=query_color,
                     compact=(self.compact_rotated if not use_taps
-                             else None))
+                             else None), telemetry=compact_telem)
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
+        if compact_telem:
+            # dropped valid rays per compacted refine level (+ texture
+            # window last, when texture runs compacted): nonzero means the
+            # frame degraded those rays/pixels to the coarse silhouette —
+            # graceful, but it must be observable (compact_report)
+            out["compact_dropped"] = jnp.stack(compact_telem)
         return out
 
     def band_report(self, out) -> str:
@@ -513,6 +666,28 @@ class ReconEngine:
                     "select='uncertain' for graceful degradation) — ")
         return head + ", ".join(parts)
 
+    def compact_report(self, out) -> str:
+        """Dropped-ray counts of the rotated compaction budgets from a
+        frame's output dict (fetches compact_dropped). Overflow degrades
+        gracefully (dropped rays keep the coarse silhouette; dropped
+        texture pixels keep the white background under the valid mask) —
+        but a large/spread subject losing fine detail must be visible,
+        not a green log (VERDICT r3 item 6)."""
+        import numpy as np
+
+        if "compact_dropped" not in out:
+            return "compact: dense (no ray compaction in this frame)"
+        dropped = np.asarray(out["compact_dropped"]).tolist()
+        labels = [f"refine{rc}->{rf}" for rc, rf in self._refine_pairs()]
+        if len(dropped) == len(labels) + 1:
+            labels.append("texture")
+        parts = [f"{lb}: {int(d)} dropped"
+                 for lb, d in zip(labels, dropped)]
+        if any(dropped):
+            return ("compact OVERFLOW (raise compact_rotated or shrink the"
+                    " subject window) — " + ", ".join(parts))
+        return "compact budgets ok — " + ", ".join(parts)
+
     def frame(self, params_g: Any, image_g: jax.Array,
               params_c: Any = None, image_c: Optional[jax.Array] = None,
               calib: Optional[jax.Array] = None):
@@ -524,16 +699,42 @@ class ReconEngine:
         compile the first time each variant is hit)."""
         if calib is None:
             calib = jnp.eye(4, dtype=jnp.float32)[None]
+        use_taps = self._calib_taps_ok(calib)
         return self._frame(params_g, params_c, image_g, image_c, calib,
-                           use_taps=self._calib_taps_ok(calib),
-                           use_grid=self._calib_grid_ok(calib))
+                           use_taps=use_taps,
+                           use_grid=self._calib_grid_ok(calib),
+                           rot_k=(() if use_taps else self._rot_anchor_plan(
+                               calib, image_g.shape[1])))
+
+    def _frames_call(self, params_g, params_c, images_g, images_c, calibs,
+                     use_taps: bool, use_grid: bool, rot_k: tuple):
+        """One vmapped jitted clip call for frames of a single calib
+        class (jit cache keyed on the class + clip size)."""
+        no_tex = images_c is None
+        key = (no_tex, use_taps, use_grid, rot_k)
+        if key not in self._frames_jit:
+            fn = jax.vmap(
+                functools.partial(self._frame_impl, use_taps=use_taps,
+                                  use_grid=use_grid, rot_k=rot_k),
+                in_axes=(None, None, 0, None if no_tex else 0, 0))
+            self._frames_jit[key] = jax.jit(fn)
+        return self._frames_jit[key](params_g, params_c, images_g,
+                                     images_c, calibs)
 
     def frames(self, params_g: Any, images_g: jax.Array,
                params_c: Any = None, images_c: Optional[jax.Array] = None,
                calibs: Optional[jax.Array] = None):
         """Batched video mode (BASELINE config #4): process a [B, H, W, 3]
         clip in one vmapped program (per-frame recon states stay
-        independent; throughput path for offline video)."""
+        independent; throughput path for offline video).
+
+        Mixed-calib clips are GROUPED per frame by their fast-path class
+        (frontal grid / frontal taps / rotated with its anchor plan) and
+        each group runs its own vmapped program — one rotated frame no
+        longer drops the whole clip off the ray/grid fast path (r3 ran
+        all-or-nothing; VERDICT r3 item 4). Outputs are reassembled in
+        clip order; keys are the intersection across groups (a rotated
+        group's compact telemetry is dropped when mixed with frontal)."""
         b = images_g.shape[0]
         if calibs is None:
             calibs = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
@@ -541,23 +742,36 @@ class ReconEngine:
         images_g = images_g[:, None]                  # [B, 1, H, W, 3]
         images_c = None if images_c is None else images_c[:, None]
         calibs = calibs[:, None]                      # [B, 1, 4, 4]
-        no_tex = images_c is None
-        use_taps = self._calib_taps_ok(calibs)  # all-or-nothing per clip
-        use_grid = self._calib_grid_ok(calibs)
-        if self.use_ray_query and not use_taps:
-            # one rotated calib in the clip disables the ray fast path for
-            # EVERY frame of this call — surface it so throughput
-            # regressions are diagnosable (ADVICE r2)
-            import logging
-            logging.getLogger(__name__).debug(
-                "frames(): mixed/rotated calibs in clip — ray-structured "
-                "fast path disabled for all %d frames of this call", b)
-        key = (no_tex, use_taps, use_grid)
-        if key not in self._frames_jit:
-            fn = jax.vmap(
-                functools.partial(self._frame_impl, use_taps=use_taps,
-                                  use_grid=use_grid),
-                in_axes=(None, None, 0, None if no_tex else 0, 0))
-            self._frames_jit[key] = jax.jit(fn)
-        return self._frames_jit[key](params_g, params_c, images_g,
-                                     images_c, calibs)
+        groups: dict[tuple, list] = {}
+        for i in range(b):
+            ci = calibs[i]
+            ut = self._calib_taps_ok(ci)
+            key = (ut, self._calib_grid_ok(ci),
+                   () if ut else self._rot_anchor_plan(
+                       ci, images_g.shape[-3]))
+            groups.setdefault(key, []).append(i)
+        if len(groups) == 1:
+            (ut, ug, rk), _ = next(iter(groups.items()))
+            return self._frames_call(params_g, params_c, images_g,
+                                     images_c, calibs, ut, ug, rk)
+        import logging
+        logging.getLogger(__name__).debug(
+            "frames(): mixed calibs — %d groups over %d frames (one "
+            "program per group; each keeps its own fast path)",
+            len(groups), b)
+        outs = []
+        for (ut, ug, rk), idx in groups.items():
+            sel = jnp.asarray(idx)
+            outs.append((sel, self._frames_call(
+                params_g, params_c, images_g[sel],
+                None if images_c is None else images_c[sel],
+                calibs[sel], ut, ug, rk)))
+        keys = set.intersection(*(set(o.keys()) for _, o in outs))
+        result = {}
+        for k in keys:
+            buf = jnp.zeros((b,) + outs[0][1][k].shape[1:],
+                            outs[0][1][k].dtype)
+            for sel, o in outs:
+                buf = buf.at[sel].set(o[k].astype(buf.dtype))
+            result[k] = buf
+        return result

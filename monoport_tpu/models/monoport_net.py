@@ -141,6 +141,82 @@ class MonoPortNet(nn.Module):
                 x.reshape(b, r * t, -1)).reshape(b, r, t, -1)
         return in_img[..., None, None].astype(pred.dtype) * pred
 
+    # -- anchored ray query (rotated-view fast path) --------------------------
+    def query_taps_anchored(self, feats_stages: FeatStages,
+                            xy_world: jax.Array, z_world: jax.Array,
+                            calibs: Optional[jax.Array] = None,
+                            transforms: Optional[jax.Array] = None,
+                            anchors: int = 2,
+                            head_anchor_fn=None) -> jax.Array:
+        """Eval-mode query of T z-taps per ray under an ARBITRARY affine
+        (orthographic) calib: [B,R,2] recon-space xy + [B,R,T] z ->
+        [B, R, T, Res].
+
+        Under any affine calib the projected (u, v, zc) of a ray's taps is
+        LINEAR in the tap z (the demo's orbit camera rotates the view
+        extrinsic, RTL/scene.py:122-137, putting z-terms in the image rows
+        — which invalidates ``query_taps``' shared-uv assumption but keeps
+        linearity). This path projects only the ray's two END taps,
+        gathers features at ``anchors`` evenly spaced points on the uv
+        segment, and reconstructs every tap's feature as the piecewise-
+        linear combination of its two bracketing anchors (hat weights over
+        alpha = the tap's position on the segment). (u, v, zc) per tap are
+        EXACT; the feature itself is approximate wherever the bilinear
+        sample is nonlinear across the segment — spans are ~2 texels/
+        segment at demo orbit angles (DESIGN.md round-4 notes), measured
+        against the exact per-point query by tests/test_anchored.py and
+        scripts/eval_rotated_quality.py. Gathers and skip x-projections
+        drop from T to ``anchors`` per ray (ops/pallas/fused_ray_mlp.py
+        apply_anchor_*). Requires the scalar z normalizer.
+        """
+        assert not self.normalizer.soft_onehot, \
+            "query_taps_anchored requires the scalar z normalizer"
+        feats = feats_stages[-1]
+        b, r, t = z_world.shape
+        k = anchors
+        z0 = z_world[..., :1]
+        z1 = z_world[..., -1:]
+        denom = z1 - z0
+        safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        alpha = jnp.where(jnp.abs(denom) > 1e-12,
+                          (z_world - z0) / safe, 0.0)       # [B, R, T]
+        base0 = jnp.concatenate([xy_world, z0], axis=-1)
+        base1 = jnp.concatenate([xy_world, z1], axis=-1)
+        if calibs is not None:
+            xyz0 = self.projection(base0, calibs, transforms)
+            xyz1 = self.projection(base1, calibs, transforms)
+        else:
+            xyz0, xyz1 = base0, base1
+        duv = (xyz1 - xyz0)[..., :2]                        # [B, R, 2]
+        ak = jnp.linspace(0.0, 1.0, k, dtype=jnp.float32) if k > 1 \
+            else jnp.zeros((1,), jnp.float32)
+        uv_k = xyz0[..., None, :2] + ak[:, None] * duv[..., None, :]
+        feat_k = jnp.concatenate(
+            [index(f, uv_k.reshape(b, r * k, 2)) for f in feats],
+            axis=-1).reshape(b, r, k, -1)
+        # hat weights: tap t combines its two bracketing anchors
+        pos = alpha[..., None] * (k - 1) - jnp.arange(k, dtype=jnp.float32)
+        w_taps = jnp.maximum(0.0, 1.0 - jnp.abs(pos))       # [B, R, T, K]
+        # per-tap mask and projected z (both exact — linear in alpha)
+        uv_t = xyz0[..., None, :2] + alpha[..., None] * duv[..., None, :]
+        in_img = ((uv_t[..., 0] >= -1.0) & (uv_t[..., 0] <= 1.0)
+                  & (uv_t[..., 1] >= -1.0) & (uv_t[..., 1] <= 1.0))
+        zc = (xyz0[..., 2:] * (1.0 - alpha) + xyz1[..., 2:] * alpha)
+        z_feat = self.normalizer(zc[..., None])[..., 0]     # [B, R, T]
+        if head_anchor_fn is not None:
+            pred = head_anchor_fn(feat_k, w_taps,
+                                  z_feat.astype(feat_k.dtype))
+        else:
+            # flax-head fallback: reconstruct per-tap features, expand taps
+            # into the point axis (still saves the per-tap gathers)
+            feat_t = jnp.einsum("brtk,brkc->brtc",
+                                w_taps.astype(feat_k.dtype), feat_k)
+            x = jnp.concatenate(
+                [feat_t, z_feat[..., None].astype(feat_k.dtype)], axis=-1)
+            pred = self.surface_classifier(
+                x.reshape(b, r * t, -1)).reshape(b, r, t, -1)
+        return in_img[..., None].astype(pred.dtype) * pred
+
     # -- grid-structured query (frontal fast path, gather-free) --------------
     def query_taps_grid(self, feats_stages: FeatStages, x_world: jax.Array,
                         y_world: jax.Array, z_world: jax.Array,

@@ -178,6 +178,139 @@ def apply_ray_packed(packed: dict, feat: jax.Array, z: jax.Array,
     return out[:, :r, :, :p["out_dim"]]
 
 
+def _anchor_kernel(n_layers: int, taps: int, n_anchors: int, last_op: str,
+                   compute_dtype, feat_ref, z_ref, w_tap_ref, *refs):
+    """Anchored variant of ``_ray_kernel``: the per-ray feature is not
+    shared across taps (rotated calibs move (u, v) along the ray), but it
+    IS a per-tap convex combination of ``n_anchors`` per-ray anchor
+    features (uv is LINEAR in z under any affine calib, so anchor features
+    + piecewise-lerp reconstruct the moving sample). Each anchor's skip
+    x-projections are computed once per ray; every tap combines them with
+    its two hat weights — restoring the shared-projection/gather savings
+    the frontal taps kernel gets, at K/T of the dense cost.
+
+    feat_ref [1, K, R, C_f]; w_tap_ref [1, R, taps, K] hat weights;
+    refs as in ``_ray_kernel``."""
+    w_h = refs[:n_layers - 1]
+    w_f = refs[n_layers - 1:2 * n_layers - 1]
+    w_z = refs[2 * n_layers - 1:3 * n_layers - 1]
+    b = refs[3 * n_layers - 1:4 * n_layers - 1]
+    out_ref = refs[-1]
+
+    # LAYER-outer / tap-inner order: only the CURRENT layer's K anchor
+    # projections plus each tap's (bf16) hidden activation are live at
+    # once — the tap-outer form kept K x n_layers f32 projections
+    # resident and blew the 16 MB scoped-vmem budget 4x at the production
+    # head (measured: 64.76M requested; profile_rotated_r4 first run)
+    h = [None] * taps
+    for i in range(n_layers):
+        xproj = [jnp.dot(feat_ref[0, k], w_f[i][...],
+                         preferred_element_type=jnp.float32)
+                 for k in range(n_anchors)]              # K x [R, O_i]
+        for t in range(taps):                            # static unroll
+            zt = z_ref[0, :, t][:, None].astype(jnp.float32)   # [R, 1]
+            acc = zt * w_z[i][...] + b[i][...]
+            for k in range(n_anchors):
+                wk = w_tap_ref[0, :, t, k][:, None].astype(jnp.float32)
+                acc = acc + wk * xproj[k]
+            if i > 0:
+                acc = acc + jnp.dot(h[t], w_h[i - 1][...],
+                                    preferred_element_type=jnp.float32)
+            acc = _activate(acc, i, n_layers, last_op)
+            if i == n_layers - 1:
+                out_ref[0, t] = acc.astype(out_ref.dtype)
+            else:
+                h[t] = acc.astype(compute_dtype)
+
+
+def apply_anchor_packed(packed: dict, feat_anchors: jax.Array,
+                        w_taps: jax.Array, z: jax.Array, last_op: str,
+                        tile_r: int = 128, compute_dtype=jnp.bfloat16,
+                        interpret: bool = False) -> jax.Array:
+    """[B, R, K, C_f] anchor feats + [B, R, T, K] per-tap hat weights +
+    [B, R, T] z-features -> [B, R, T, out_dim]."""
+    p = packed
+    bsz, r, n_anchors, c = feat_anchors.shape
+    taps = z.shape[-1]
+    assert c == p["c_f"], (c, p["c_f"])
+    assert w_taps.shape == (bsz, r, taps, n_anchors)
+    c = p["c_f_pad"]
+    n_layers = len(p["w_f"])
+    r_pad = _round_up(r, tile_r)
+    fp = jnp.zeros((bsz, r_pad, n_anchors, c), compute_dtype).at[
+        :, :r, :, :p["c_f"]].set(feat_anchors.astype(compute_dtype))
+    fp = fp.transpose(0, 2, 1, 3)                  # [B, K, R_pad, C]
+    zp = jnp.zeros((bsz, r_pad, taps), jnp.float32).at[:, :r].set(
+        z.astype(jnp.float32))
+    wp = jnp.zeros((bsz, r_pad, taps, n_anchors), jnp.float32).at[
+        :, :r].set(w_taps.astype(jnp.float32))
+    tiles = bsz * (r_pad // tile_r)
+    fp = fp.reshape(bsz, n_anchors, r_pad // tile_r, tile_r, c).transpose(
+        0, 2, 1, 3, 4).reshape(tiles, n_anchors, tile_r, c)
+    zp = zp.reshape(tiles, tile_r, taps)
+    wp = wp.reshape(tiles, tile_r, taps, n_anchors)
+
+    weights = ([w for w in p["w_h"] if w is not None]
+               + list(p["w_f"]) + list(p["w_z"]) + list(p["b"]))
+    out_pad = p["b"][-1].shape[1]
+
+    kernel = functools.partial(_anchor_kernel, n_layers, taps, n_anchors,
+                               last_op, compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec((1, n_anchors, tile_r, c),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_r, taps), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile_r, taps, n_anchors),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        out_specs=pl.BlockSpec((1, taps, tile_r, out_pad),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, taps, tile_r, out_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(fp, zp, wp, *weights)
+    out = out.reshape(bsz, r_pad // tile_r, taps, tile_r, out_pad)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(bsz, r_pad, taps, out_pad)
+    return out[:, :r, :, :p["out_dim"]]
+
+
+def apply_anchor_xla(packed: dict, feat_anchors: jax.Array,
+                     w_taps: jax.Array, z: jax.Array, last_op: str,
+                     compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Identical math to ``apply_anchor_packed`` in plain XLA (CPU tests /
+    non-Pallas engines). feat_anchors [B,R,K,C_f], w_taps [B,R,T,K],
+    z [B,R,T] -> [B,R,T,out_dim]."""
+    p = packed
+    n_layers = len(p["w_f"])
+    if feat_anchors.shape[-1] < p["c_f_pad"]:
+        feat_anchors = jnp.pad(
+            feat_anchors, ((0, 0),) * (feat_anchors.ndim - 1)
+            + ((0, p["c_f_pad"] - feat_anchors.shape[-1]),))
+    f = feat_anchors.astype(compute_dtype)
+    # per-anchor shared projections, combined per tap by the hat weights
+    xproj = [jnp.einsum("brkc,co->brko", f,
+                        p["w_f"][i]).astype(jnp.float32)
+             for i in range(n_layers)]
+    w = w_taps.astype(jnp.float32)                       # [B, R, T, K]
+    zt = z.astype(jnp.float32)[..., None]                # [B, R, T, 1]
+    h = None
+    for i in range(n_layers):
+        acc = (jnp.einsum("brtk,brko->brto", w, xproj[i])
+               + zt * p["w_z"][i][0] + p["b"][i][0])     # [B, R, T, O]
+        if i > 0:
+            acc = acc + jnp.einsum(
+                "brth,ho->brto", h, p["w_h"][i]).astype(jnp.float32)
+        acc = _activate(acc, i, n_layers, last_op)
+        h = acc.astype(compute_dtype)
+    return acc[..., :p["out_dim"]]
+
+
 def apply_ray_xla(packed: dict, feat: jax.Array, z: jax.Array,
                   last_op: str, compute_dtype=jnp.bfloat16) -> jax.Array:
     """Identical math to the kernel in plain XLA (fallback / CPU tests).

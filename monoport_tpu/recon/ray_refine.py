@@ -64,7 +64,8 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  scale: float, balance_value: float, b_min, b_max,
                  spacing=(1.0, 1.0), query_taps_fn: Callable | None = None,
                  query_grid_fn: Callable | None = None,
-                 compact_budget: int | None = None):
+                 compact_budget: int | None = None,
+                 telemetry: list | None = None):
     """Shared fine pass over an outer-product ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
@@ -79,13 +80,20 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     [1,R,T] z world -> [1,R,T] occupancy) — the fused gather-once-per-ray
     path (ops/pallas/fused_ray_mlp.py) — else the generic per-point
     ``query_fn`` runs on the flattened [1, R*T, 3] batch.
-    compact_budget: per-point path only — query just the coarse-valid
-    rays (padded to this static budget) instead of the full lattice.
+    compact_budget: query just the coarse-valid rays (padded to this
+    static budget) instead of the full lattice — via ``query_taps_fn``
+    when given (rotated-frame anchored query: any [1,R,2]+[1,R,T] ray
+    batch, no lattice needed) else the per-point ``query_fn``.
     Valid-ray results are identical (their taps are the same points);
     rays the coarse pass already rejected keep the coarse fallback they
     would get anyway when their taps miss. Budget overflow degrades to
-    the coarse silhouette for the dropped rays (never holes). The
-    structured fast paths ignore this (their lattices must stay dense).
+    the coarse silhouette for the dropped rays (never holes). The grid
+    path ignores this (its lattice must stay an outer product).
+    telemetry: optional list; the compact path appends its dropped-ray
+    count (valid rays beyond the budget — exactly the rays that degrade
+    to the coarse silhouette) as a traced i32 scalar, so overflow is
+    observable at runtime instead of silently losing detail (engine
+    surfaces it as frame()['compact_dropped']).
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
@@ -99,10 +107,12 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     xw1 = ax * step[0] + b_min[0]                               # [H]
     yw1 = by * step[1] + b_min[1]                               # [W]
 
-    if compact_budget and query_grid_fn is None and query_taps_fn is None:
+    if compact_budget and query_grid_fn is None:
         return _refine_core_compact(query_fn, depth_f, valid_f, xw1, yw1,
                                     rf, offsets, balance_value, step, b_min,
-                                    spacing, compact_budget)
+                                    spacing, compact_budget,
+                                    query_taps_fn=query_taps_fn,
+                                    telemetry=telemetry)
 
     c_taps = depth_f[..., None] + offsets                       # [H, W, T]
     c_taps = jnp.clip(c_taps, 0.0, rf - 1)
@@ -155,16 +165,26 @@ def _normals_from_maps(z, dvdz, nz, valid, h, w, spacing):
 
 def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
                          rf: int, offsets, balance_value: float, step,
-                         b_min, spacing, budget: int):
-    """Compacted per-point fine pass: gather the coarse-valid rays (padded
-    to ``budget``), query only their taps, scatter the crossing results
-    back onto the full lattice. Rotated-view frames force the per-point
-    query (no taps/grid structure) but only ~35-55% of the windowed rays
-    are coarse-valid — this trades one small gather/scatter pair for ~45%
-    of the frame's dominant MLP+feature-gather cost (r3 rotated ledger)."""
+                         b_min, spacing, budget: int,
+                         query_taps_fn: Callable | None = None,
+                         telemetry: list | None = None):
+    """Compacted fine pass: gather the coarse-valid rays (padded to
+    ``budget``), query only their taps, scatter the crossing results
+    back onto the full lattice. Rotated-view frames lose the grid
+    structure but only ~35-55% of the windowed rays are coarse-valid —
+    this trades one small gather/scatter pair for ~45% of the frame's
+    dominant MLP+feature-gather cost (r3 rotated ledger). The compacted
+    ray batch rides ``query_taps_fn`` when given (the anchored rotated
+    query — K feature gathers + shared x-projections per ray instead of
+    T full per-point queries) else the per-point ``query_fn``."""
     h, w = depth_f.shape
     n = h * w
     flat_valid = valid_f.reshape(-1)
+    if telemetry is not None:
+        # valid rays beyond the budget degrade to the coarse silhouette —
+        # count them so overflow is observable (engine 'compact_dropped')
+        telemetry.append(jnp.maximum(
+            flat_valid.sum(dtype=jnp.int32) - budget, 0))
     idx = jnp.flatnonzero(flat_valid, size=budget, fill_value=n)  # [K]
     sel_ok = idx < n
     safe = jnp.where(sel_ok, idx, 0)
@@ -174,10 +194,15 @@ def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
     wx = xw1[safe // w]
     wy = yw1[safe % w]
     taps = offsets.shape[0]
-    pts = jnp.stack([jnp.broadcast_to(wx[:, None], (budget, taps)),
-                     jnp.broadcast_to(wy[:, None], (budget, taps)), wz],
-                    axis=-1).reshape(1, -1, 3)
-    vals = query_fn(pts)[0, :, 0].reshape(budget, taps).astype(jnp.float32)
+    if query_taps_fn is not None:
+        xy = jnp.stack([wx, wy], axis=-1)[None]                  # [1, K, 2]
+        vals = query_taps_fn(xy, wz[None])[0].astype(jnp.float32)
+    else:
+        pts = jnp.stack([jnp.broadcast_to(wx[:, None], (budget, taps)),
+                         jnp.broadcast_to(wy[:, None], (budget, taps)), wz],
+                        axis=-1).reshape(1, -1, 3)
+        vals = query_fn(pts)[0, :, 0].reshape(budget,
+                                              taps).astype(jnp.float32)
 
     z, hit, v1, v2, c1, c2 = _first_crossing(vals, c_taps, balance_value)
     z = jnp.where(hit, jnp.clip(z, 0.0, float(rf)), d_sel)
@@ -257,14 +282,17 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                      window: int | None = None,
                      query_taps_fn: Callable | None = None,
                      query_grid_fn: Callable | None = None,
-                     compact: float | None = None) -> SurfaceMaps:
+                     compact: float | None = None,
+                     telemetry: list | None = None) -> SurfaceMaps:
     """Fine pass from coarse per-ray maps (rc^2 grid, depth in rc-voxel
     units) instead of a coarse volume — the shared tail of ``ray_refine``
     and the volume-free ``ray_pyramid``.
 
-    ``compact``: per-point path only — query just the coarse-valid rays,
+    ``compact``: non-grid paths — query just the coarse-valid rays,
     padded to a static budget of this fraction of the lattice
-    (_refine_core_compact; the rotated-view cost lever)."""
+    (_refine_core_compact; the rotated-view cost lever).
+    ``telemetry``: see ``_refine_core`` — collects compact dropped-ray
+    counts."""
     rf = fine_res
     scale = (rf - 1) / (rc - 1)
     depth_f, valid_f = _upsampled_coarse(coarse, rf, scale)
@@ -275,7 +303,8 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                             scale, balance_value, b_min, b_max,
                             query_taps_fn=query_taps_fn,
                             query_grid_fn=query_grid_fn,
-                            compact_budget=_compact_rays(compact, rf, rf))
+                            compact_budget=_compact_rays(compact, rf, rf),
+                            telemetry=telemetry)
 
     # --- adaptive windowed fine pass ---
     # window x window rays are spread over the subject's bbox (from the
@@ -297,7 +326,8 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                           query_taps_fn=query_taps_fn,
                           query_grid_fn=query_grid_fn,
                           compact_budget=_compact_rays(compact, window,
-                                                       window))
+                                                       window),
+                          telemetry=telemetry)
 
     # resample the refined window back onto the full fine grid (exact
     # gather when stride == 1); outside the window keep the coarse maps
@@ -397,29 +427,51 @@ def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
                 window: int | None = None,
                 query_taps_fn: Callable | None = None,
                 query_grid_fn: Callable | None = None,
-                compact: float | None = None) -> SurfaceMaps:
+                compact: float | None = None,
+                march_taps: bool = True,
+                telemetry: list | None = None) -> SurfaceMaps:
     """Volume-free coarse-to-fine surface localization, all per-ray:
     dense march at levels[0], then successive ``refine_from_maps`` passes
     through the remaining levels and finally ``fine_res`` (with the
     optional bbox window). Plays the role of hierarchy + depth_peel +
     ray_refine on the frontal real-time path with zero 3D volume ops.
-    ``compact``: per-point path only — each refine level queries just its
-    coarse-valid rays at this budget fraction (the rotated-view lever)."""
+    ``compact``: non-grid paths — each refine level queries just its
+    coarse-valid rays at this budget fraction (the rotated-view lever).
+    ``march_taps``: give the dense march ``query_taps_fn`` too. False for
+    the rotated anchored query, whose feature lerp is only accurate over
+    the refine levels' short tap spans — the march's full-volume rays
+    fall back to the exact per-point ``query_fn``.
+    ``query_taps_fn`` may also be a SEQUENCE of one fn (or None) per
+    refine level (len(levels) entries: levels[0]->levels[1], ...,
+    levels[-1]->fine_res) — the rotated anchored query picks its anchor
+    count per level from that level's uv tap span (engine.
+    _rot_anchor_plan), so coarser levels (longer spans) can run exact
+    per-point while the fine level rides the lerp."""
+    per_level = isinstance(query_taps_fn, (list, tuple))
+    if per_level:
+        assert not march_taps, \
+            "per-level taps fns are refine-only (march has no entry)"
+        assert len(query_taps_fn) == len(levels), \
+            (len(query_taps_fn), len(levels))
+        fns = list(query_taps_fn)
+    else:
+        fns = [query_taps_fn] * len(levels)
     maps = ray_march(query_fn, levels[0], balance_value, b_min, b_max,
-                     query_taps_fn=query_taps_fn,
+                     query_taps_fn=fns[0] if march_taps else None,
                      query_grid_fn=query_grid_fn)
-    for rc, rl in zip(levels[:-1], levels[1:]):
+    for i, (rc, rl) in enumerate(zip(levels[:-1], levels[1:])):
         maps = refine_from_maps(query_fn, maps, rc, rl, taps=taps,
                                 balance_value=balance_value,
                                 b_min=b_min, b_max=b_max,
-                                query_taps_fn=query_taps_fn,
+                                query_taps_fn=fns[i],
                                 query_grid_fn=query_grid_fn,
-                                compact=compact)
+                                compact=compact, telemetry=telemetry)
     return refine_from_maps(query_fn, maps, levels[-1], fine_res,
                             taps=taps, balance_value=balance_value,
                             b_min=b_min, b_max=b_max, window=window,
-                            query_taps_fn=query_taps_fn,
-                            query_grid_fn=query_grid_fn, compact=compact)
+                            query_taps_fn=fns[-1],
+                            query_grid_fn=query_grid_fn, compact=compact,
+                            telemetry=telemetry)
 
 
 def _sample_grid(img: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:
