@@ -47,6 +47,11 @@ def main(argv=None):
                         help="surface-sample sigma override (default: the "
                         "per-mode value, 0.035 hard / 0.05 plain — the "
                         "r3-decisive quality lever, DESIGN.md)")
+    parser.add_argument("--family", default="capsule",
+                        choices=["capsule", "mixed"],
+                        help="mixed: half hard-capsule, half superquadric "
+                        "bodies with a flat-render slice (r4 cross-family "
+                        "curriculum, datasets/superquadric.py)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--init_from", default=None,
@@ -63,14 +68,21 @@ def main(argv=None):
     tx = optax.adam(optax.cosine_decay_schedule(
         args.lr, args.steps, alpha=0.05))
 
+    if args.family == "mixed":
+        from ..training.datasets.superquadric import mixed_train_batch
+        batch_fn = functools.partial(mixed_train_batch, batch=args.batch,
+                                     size=args.size, n_points=args.points,
+                                     sigma=args.sigma)
+    else:
+        batch_fn = functools.partial(synth_train_batch, batch=args.batch,
+                                     size=args.size, n_points=args.points,
+                                     hard=bool(args.hard), sigma=args.sigma)
+
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     # jit both: eager op-by-op init costs ~0.5s/dispatch on the tunneled
     # backend (thousands of ops for the 4-stack hourglass — see DESIGN.md)
-    ex = jax.jit(functools.partial(synth_train_batch, batch=args.batch,
-                                   size=args.size, n_points=args.points,
-                                   hard=bool(args.hard), sigma=args.sigma))(
-        jax.random.PRNGKey(1))
+    ex = jax.jit(batch_fn)(jax.random.PRNGKey(1))
     variables = jax.jit(functools.partial(net.init, train=True))(
         k_init, ex["images"], ex["points"], ex["calibs"],
         labels=ex["labels"])
@@ -94,8 +106,7 @@ def main(argv=None):
 
     def step(carry, k):
         params, opt_state = carry
-        batch = synth_train_batch(k, args.batch, args.size, args.points,
-                                  hard=bool(args.hard), sigma=args.sigma)
+        batch = batch_fn(k)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss

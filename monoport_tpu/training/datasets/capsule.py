@@ -153,9 +153,15 @@ def _pattern(xy, app):
         * jnp.sin(xy[..., 1:2] * app["freq"][1] + app["phase"][1]))
 
 
-def render_front(caps, size: int, n_march: int = 48, base_color=None,
-                 appearance=None):
-    """Orthographic front render by first-crossing ray march along z.
+def render_front_occ(occ_fn, size: int, n_march: int = 48, base_color=None,
+                     appearance=None, flat: bool = False):
+    """Orthographic front render of ANY soft-occupancy field by
+    first-crossing ray march along z (shared by the capsule and
+    superquadric families so eval inputs stay in the netG contract).
+
+    ``flat=True`` skips the depth-cue shading — a constant-color
+    silhouette like the PPL fixture renders (fixture.py _render_rgba) —
+    used by the shading-free appearance slice of the mixed curriculum.
 
     Returns (image [S,S,3] normalized to [-1,1] with bg=0 after masking —
     the netG input contract, RTL/main.py:353-358 — and mask [S,S])."""
@@ -168,16 +174,26 @@ def render_front(caps, size: int, n_march: int = 48, base_color=None,
 
     def probe(z):
         pts = jnp.stack([xx, yy, jnp.full_like(xx, z)], -1)
-        return capsule_occupancy(pts, caps) > 0.5    # [S, S]
+        return occ_fn(pts) > 0.5                     # [S, S]
 
     occ = jax.vmap(probe)(zs)                        # [M, S, S]
     hit = occ.any(axis=0)
     first = jnp.argmax(occ, axis=0)                  # first crossing index
     depth = zs[first]                                # + = near
-    shade = jnp.where(hit, _shade(depth), 0.0)
+    # ``flat`` may be a traced bool (per-item curriculum mixing)
+    shade = jnp.where(hit, jnp.where(jnp.asarray(flat), 1.0, _shade(depth)),
+                      0.0)
     pat = _pattern(jnp.stack([xx, yy], -1), appearance)
     image = jnp.clip(shade[..., None] * base * pat, 0.0, 1.0) * 2.0 - 1.0
     return image * hit[..., None], hit.astype(jnp.float32)
+
+
+def render_front(caps, size: int, n_march: int = 48, base_color=None,
+                 appearance=None, flat: bool = False):
+    """Capsule-body front render (render_front_occ over capsule_occupancy)."""
+    return render_front_occ(lambda pts: capsule_occupancy(pts, caps),
+                            size, n_march=n_march, base_color=base_color,
+                            appearance=appearance, flat=flat)
 
 
 def surface_color(pts, base_color=None, appearance=None):
@@ -243,7 +259,7 @@ def gt_texture_canvas(depth, valid, resolution: int, base_color=None):
 
 
 def synth_item(key, size: int, n_points: int, hard: bool = False,
-               sigma: float | None = None):
+               sigma: float | None = None, flat_prob: float = 0.0):
     """-> dict(image [S,S,3], points [N,3], labels [N,1], calib [4,4]).
 
     hard=True: the r3 curriculum — wider scales (0.45-1.0), harder poses,
@@ -251,8 +267,10 @@ def synth_item(key, size: int, n_points: int, hard: bool = False,
     textured/tinted appearance (VERDICT r2 item 2). The plain default
     look stays inside this distribution (amp ranges include ~0).
     sigma: override the surface-sample sigma (None keeps the per-mode
-    default — the r3-decisive quality lever, DESIGN.md)."""
-    k_skel, k_pts, k_cloth, k_app = jax.random.split(key, 4)
+    default — the r3-decisive quality lever, DESIGN.md).
+    flat_prob: fraction rendered WITHOUT depth shading (flat silhouette,
+    the PPL-fixture look) — the r4 cross-family curriculum slice."""
+    k_skel, k_pts, k_cloth, k_app, k_flat = jax.random.split(key, 5)
     if hard:
         caps = skeleton3d(k_skel, scale_range=(0.45, 1.0),
                           pose_spread=1.35, z_spread=0.35)
@@ -265,7 +283,9 @@ def synth_item(key, size: int, n_points: int, hard: bool = False,
         caps = skeleton3d(k_skel)
         app = None
         sigma = 0.05 if sigma is None else sigma
-    image, mask = render_front(caps, size, appearance=app)
+    flat = (jax.random.uniform(k_flat, ()) < flat_prob) \
+        if flat_prob > 0 else False
+    image, mask = render_front(caps, size, appearance=app, flat=flat)
     pts, labels = sample_points(k_pts, caps, n_points, sigma=sigma)
     return {"image": image, "points": pts, "labels": labels,
             "calib": jnp.eye(4, dtype=jnp.float32)}

@@ -41,6 +41,93 @@ def inside(points: np.ndarray) -> np.ndarray:
     return (np.square(points / np.asarray(RADII)).sum(-1) <= 1.0)
 
 
+# -- rich multi-ellipsoid subjects (round-4 convergence fixture) -----------
+#
+# A "person" is a union of axis-aligned ellipsoids (torso/head/arms/legs)
+# with per-subject randomized proportions. Axis-aligned parts keep the
+# rotated render EXACT: under a y-rotation each part's orthographic shadow
+# is still an axis-aligned ellipse (the rotation mixes x/z only), centered
+# at the rotated center with x-radius hypot(rx cos, rz sin) — the same
+# closed form the single-ellipsoid fixture uses.
+
+def rich_person(rng: np.random.RandomState) -> list:
+    """-> [(center [3], radii [3]), ...] randomized humanoid."""
+    s = rng.uniform(0.75, 1.0)                      # overall scale
+    torso = ([0.0, 0.1 * s, 0.0],
+             [rng.uniform(0.16, 0.24) * s, rng.uniform(0.32, 0.42) * s,
+              rng.uniform(0.12, 0.18) * s])
+    head = ([0.0, (0.1 + 0.55) * s, 0.0],
+            [0.11 * s, rng.uniform(0.11, 0.15) * s, 0.11 * s])
+    parts = [torso, head]
+    arm_x = torso[1][0] + 0.07 * s
+    for sx in (-1.0, 1.0):
+        parts.append(([sx * arm_x, rng.uniform(0.05, 0.25) * s,
+                       rng.uniform(-0.05, 0.05) * s],
+                      [0.06 * s, rng.uniform(0.22, 0.3) * s, 0.06 * s]))
+    for sx in (-1.0, 1.0):
+        parts.append(([sx * 0.1 * s, (0.1 - 0.55) * s,
+                       rng.uniform(-0.05, 0.05) * s],
+                      [0.075 * s, rng.uniform(0.28, 0.36) * s, 0.075 * s]))
+    return [(np.asarray(c, np.float64), np.asarray(r, np.float64))
+            for c, r in parts]
+
+
+def inside_multi(points: np.ndarray, parts: list) -> np.ndarray:
+    """[N, 3] -> bool union occupancy of a rich_person."""
+    hit = np.zeros(points.shape[:-1], bool)
+    for c, r in parts:
+        hit |= np.square((points - c) / r).sum(-1) <= 1.0
+    return hit
+
+
+def _render_rgba_multi(parts: list, rotation: float, size: int = SIZE,
+                       color=(90, 140, 200), textured: bool = False,
+                       tex_seed: int = 0):
+    """Exact silhouette of the y-rotated person; optionally a sinusoidal
+    texture over the fill (appearance variety for the convergence runs —
+    occupancy labels are appearance-independent)."""
+    from PIL import Image, ImageDraw
+
+    rad = np.deg2rad(rotation)
+    img = Image.new("RGBA", (size, size), (0, 0, 0, 0))
+    draw = ImageDraw.Draw(img)
+    for c, r in parts:
+        cx_w = c[0] * np.cos(rad) + c[2] * np.sin(rad)
+        rx_p = float(np.hypot(r[0] * np.cos(rad), r[2] * np.sin(rad)))
+        cx = (cx_w + 1.0) * size / 2
+        cy = (1.0 - c[1]) * size / 2      # intrinsic diag(1,-1,..): v = -y
+        a, b = rx_p * size / 2, r[1] * size / 2
+        draw.ellipse([cx - a, cy - b, cx + a, cy + b],
+                     fill=(*color, 255))
+    if textured:
+        arr = np.asarray(img).astype(np.float32)
+        trng = np.random.RandomState(tex_seed)
+        fx, fy = trng.uniform(3, 12, 2)
+        px, py = trng.uniform(0, 2 * np.pi, 2)
+        yy, xx = np.mgrid[0:size, 0:size] / size * 2 - 1
+        pat = 1.0 + 0.35 * np.sin(xx * fx + px) * np.sin(yy * fy + py)
+        arr[..., :3] = np.clip(arr[..., :3] * pat[..., None], 0, 255)
+        img = Image.fromarray(arr.astype(np.uint8), "RGBA")
+    return img
+
+
+def _sample_arrays_multi(rng: np.random.RandomState, parts: list, n: int,
+                         sigma: float):
+    """(surface [n,4], uniform [n,4]) for a rich_person (same file format
+    as _sample_arrays; 4th column = inside flag for balance_in_out)."""
+    pick = rng.randint(0, len(parts), n)
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+    centers = np.stack([parts[i][0] for i in pick])
+    radii = np.stack([parts[i][1] for i in pick])
+    surf = centers + d * radii + rng.randn(n, 3) * sigma
+    uni = rng.uniform(-1.0, 1.0, (n, 3))
+    pack = lambda p: np.concatenate(  # noqa: E731
+        [p, inside_multi(p, parts)[:, None].astype(np.float64)],
+        -1).astype(np.float32)
+    return pack(surf), pack(uni)
+
+
 def _render_rgba(rotation: float, size: int = SIZE):
     """Silhouette of the rotated ellipsoid under the ortho calib below."""
     from PIL import Image, ImageDraw
@@ -79,16 +166,25 @@ def _write_obj(path: str):
 def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
                          rotations=(0, 120, 240), sigma_geo: float = 0.05,
                          n_points: int = 400, seed: int = 0,
-                         broken: bool = True) -> dict:
+                         broken: bool = True, rich: bool = False,
+                         textured: bool = False,
+                         n_sample_files: int = 100) -> dict:
     """Emit a PPLDynamicDataset tree under ``root``.
 
     Each subject gets one action/frame with renders+calibs for
-    ``rotations``, 100 surface + 100 uniform sample files (the dataset
-    draws file index randint(0, 99), ppl_dynamic.py:267-273), skeleton/
-    center/scale sidecars and a poisson mesh. With ``broken`` three
-    defective motions are added that the startup sanity check
-    (ppl_dynamic.py:181-212 semantics) must prune: missing files, a
-    head-below-hip skeleton, and an out-of-frustum skeleton.
+    ``rotations``, ``n_sample_files`` surface + uniform sample files (the
+    dataset draws file index randint(0, 99), ppl_dynamic.py:267-273 — keep
+    100 for trees the dataset consumes), skeleton/center/scale sidecars
+    and a poisson mesh. With ``broken`` three defective motions are added
+    that the startup sanity check (ppl_dynamic.py:181-212 semantics) must
+    prune: missing files, a head-below-hip skeleton, and an
+    out-of-frustum skeleton.
+
+    ``rich=True`` replaces the single shared ellipsoid with a per-subject
+    randomized multi-ellipsoid person (rich_person) and per-subject fill
+    colors; ``textured`` adds a sinusoidal pattern over the fill — the
+    round-4 convergence fixture (multi-subject, multi-rotation, textured,
+    geometry still exactly calib-consistent).
 
     Returns {"good": [motion dirs], "broken": [motion dirs]}.
     """
@@ -98,13 +194,17 @@ def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
     def motion_dir(subject, action="walk", frame=0):
         return os.path.join(root, subject, action, f"{frame:06d}")
 
-    def write_motion(mdir, head_y=0.78, skel_x=0.0, skip=()):
+    def write_motion(mdir, head_y=0.78, skel_x=0.0, skip=(), person=None,
+                     color=(90, 140, 200)):
         os.makedirs(os.path.join(mdir, "render"), exist_ok=True)
         os.makedirs(os.path.join(mdir, "calib"), exist_ok=True)
         for rot in rotations:
             if "render" not in skip:
-                _render_rgba(rot).save(
-                    os.path.join(mdir, "render", f"{rot:03d}.png"))
+                img = (_render_rgba_multi(person, rot, color=color,
+                                          textured=textured,
+                                          tex_seed=seed + rot)
+                       if person is not None else _render_rgba(rot))
+                img.save(os.path.join(mdir, "render", f"{rot:03d}.png"))
             extrinsic = _rotate_y(rot)
             intrinsic = np.diag([1.0, -1.0, 1.0, 1.0])
             np.savetxt(os.path.join(mdir, "calib", f"{rot:03d}.txt"),
@@ -123,14 +223,22 @@ def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
         if "samples" not in skip:
             sdir = os.path.join(mdir, f"samples_{sigma_geo:.2f}_v3")
             os.makedirs(sdir, exist_ok=True)
-            for i in range(100):
-                surf, uni = _sample_arrays(rng, n_points, sigma_geo)
+            for i in range(n_sample_files):
+                surf, uni = (_sample_arrays_multi(rng, person, n_points,
+                                                  sigma_geo)
+                             if person is not None
+                             else _sample_arrays(rng, n_points, sigma_geo))
                 np.save(os.path.join(sdir, f"surface_{i}.npy"), surf)
                 np.save(os.path.join(sdir, f"uniform_{i}.npy"), uni)
 
+    people = {}
     for subject in subjects:
         mdir = motion_dir(subject)
-        write_motion(mdir)
+        person = rich_person(rng) if rich else None
+        color = tuple(int(v) for v in rng.randint(60, 220, 3)) \
+            if rich else (90, 140, 200)
+        write_motion(mdir, person=person, color=color)
+        people[subject] = person
         good.append(mdir)
 
     if broken:
@@ -143,7 +251,7 @@ def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
         m = motion_dir("broken_frustum")
         write_motion(m, skel_x=5.0)              # projects outside [-1, 1]
         bad.append(m)
-    return {"good": good, "broken": bad}
+    return {"good": good, "broken": bad, "people": people}
 
 
 def make_static_fixture(root: str, subjects=("stat_a", "stat_b"),
