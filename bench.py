@@ -93,8 +93,13 @@ def canary_tflops() -> float:
         t0 = time.perf_counter()
         _ = np.asarray(loop(x, it)[0, 0])
         ts.append(time.perf_counter() - t0)
-    dt = min(ts[1], ts[3]) - min(ts[0], ts[2])
-    return 2 * n**3 * 64 / max(dt, 1e-9) / 1e12
+    t64, t128 = min(ts[0], ts[2]), min(ts[1], ts[3])
+    dt = t128 - t64
+    if dt <= 0.05 * t64:
+        # tunnel-noise inversion (same guard as measure_fps): report the
+        # conservative whole-invocation rate, never an absurd marginal
+        return 2 * n**3 * 128 / t128 / 1e12
+    return 2 * n**3 * 64 / dt / 1e12
 
 
 def measure_fps(run_loop_n, iters: int, reps: int = 5):

@@ -31,6 +31,11 @@ def parse_args(argv=None):
     parser.add_argument("--net", default="netG", choices=["netG", "netC"])
     parser.add_argument("--epochs", type=int, default=0,
                         help="override cfg.num_epoch")
+    parser.add_argument("--resume_from", default="",
+                        help="checkpoint dir to resume from (the reference "
+                        "trainer's load_ckpt/resume, common/trainer.py:"
+                        "80-90; set `-- resume True` to also restore the "
+                        "optimizer state and epoch counter)")
     parser.add_argument("--steps_per_epoch", type=int, default=0)
     parser.add_argument("--image_size", type=int, default=512)
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -87,6 +92,13 @@ def main(argv=None):
     epochs = args.epochs or cfg.num_epoch
 
     loader = build_loader(args, cfg)
+    if args.resume_from:
+        # state must exist before load_ckpt: init from one example batch
+        source = (loader.epoch(0) if loader is not None
+                  else make_batches(dataset, cfg.batch_size, seed=0))
+        example = jax.tree.map(np.asarray, to_train_batch(next(iter(source))))
+        trainer.init_state(example)
+        trainer.load_ckpt(args.resume_from)
     last = float("nan")
     for epoch in range(trainer.epoch, epochs):
         source = (loader.epoch(epoch) if loader is not None
@@ -95,7 +107,9 @@ def main(argv=None):
                    for b in source)
         last = trainer.train_epoch(batches, epoch)
         trainer.logger.info("epoch %d done, mean loss %.5f", epoch, last)
-        trainer.update_ckpt(f"epoch_{epoch}", epoch, trainer.iteration)
+        # store epoch+1: a resume from this checkpoint CONTINUES with the
+        # next epoch rather than re-running the finished one
+        trainer.update_ckpt(f"epoch_{epoch}", epoch + 1, trainer.iteration)
     return last
 
 

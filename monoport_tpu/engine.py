@@ -142,8 +142,15 @@ class ReconEngine:
     def _calib_taps_ok(self, calibs) -> bool:
         """True iff every (concrete) calib has z-free image-plane rows —
         the validity condition of query_taps (monoport_net.py:110-112).
+        A perspective-projection net NEVER qualifies: the z-divide moves
+        (u, v) along every ray regardless of the calib (geometry.py:37-55)
+        — those configs ride the anchored rotated-frame machinery instead
+        (r4; the uv path is still a straight segment under perspective).
         Host-side check on the host-built calib; never call under trace."""
         if not self.use_ray_query:
+            return False
+        from .config import CN
+        if CN(self.netG.opt_net).projection != "orthogonal":
             return False
         import numpy as np
         c = np.asarray(calibs)
@@ -296,15 +303,18 @@ class ReconEngine:
         return []
 
     def _rot_anchor_plan(self, calibs, image_h: int) -> tuple:
-        """Host-side per-refine-level anchor counts for a rotated calib.
+        """Host-side per-refine-level anchor counts for a rotated calib
+        (or any calib of a perspective net).
 
         A refine level's taps span (2*pad+1) fine voxels along recon z
-        (ray_refine._refine_core); under the calib they sweep an image-
-        space segment of rot_coeff (the largest z coefficient of the
-        image rows) times that world length. K anchors split it into
-        K-1 lerp segments; K is the smallest count keeping each segment
-        under ~rot_anchor_texels feature texels (the scale on which
-        bilinear samples are near-linear — eval_rotated_anchored.py
+        (ray_refine._refine_core); under the net's projection they sweep
+        an image-space chord whose texel length is measured NUMERICALLY
+        here — project that z-span's endpoints through the actual
+        projection (affine or z-divide) for a grid of probe rays across
+        the volume and take the worst chord. K anchors split the chord
+        into K-1 lerp segments; K is the smallest count keeping each
+        segment under ~rot_anchor_texels feature texels (the scale on
+        which bilinear samples are near-linear — eval_rotated_anchored.py
         measures the resulting end-to-end deviation). Levels that would
         need K >= taps gain nothing and fall back to exact per-point
         (None). Fixed-int rot_anchors pins every level (tests/sweeps)."""
@@ -316,16 +326,40 @@ class ReconEngine:
         pairs = self._refine_pairs()
         if self.rot_anchors != "auto":
             return tuple(int(self.rot_anchors) for _ in pairs)
-        c = np.asarray(calibs)
-        rot_coeff = float(np.abs(c[..., :2, 2]).max())
+        from .config import CN
+        persp = CN(self.netG.opt_net).projection == "perspective"
+        c = np.asarray(calibs).reshape(-1, 4, 4)[0]
         feat_hw = max(image_h // 4, 2)          # stride-4 backbones
-        z_range = float(self.recon.b_max[2] - self.recon.b_min[2])
+        b_min = np.asarray(self.recon.b_min, np.float64)
+        b_max = np.asarray(self.recon.b_max, np.float64)
+        # probe rays: 5x5 (x, y) grid x a few z starts across the volume
+        ax = np.linspace(0.0, 1.0, 5)
+        gx, gy = np.meshgrid(ax, ax, indexing="ij")
+        xy = np.stack([b_min[0] + gx.ravel() * (b_max[0] - b_min[0]),
+                       b_min[1] + gy.ravel() * (b_max[1] - b_min[1])], -1)
+
+        def uv(pts):
+            homo = pts @ c[:3, :3].T + c[:3, 3]
+            if persp:
+                return homo[..., :2] / np.maximum(
+                    np.abs(homo[..., 2:3]), 1e-9) * np.sign(homo[..., 2:3])
+            return homo[..., :2]
+
+        z_range = float(b_max[2] - b_min[2])
         plan = []
         for rc, rf in pairs:
             scale = (rf - 1) / (rc - 1)
             pad = math.ceil(scale) + 1
             world_span = (2 * pad + 1) * z_range / (rf - 1)
-            texels = rot_coeff * world_span * 0.5 * (feat_hw - 1)
+            span = 0.0
+            for z0f in (0.0, 0.5, 1.0 - world_span / z_range):
+                z0 = b_min[2] + z0f * z_range
+                p0 = np.concatenate([xy, np.full((len(xy), 1), z0)], -1)
+                p1 = p0.copy()
+                p1[:, 2] += world_span
+                span = max(span, float(
+                    np.linalg.norm(uv(p1) - uv(p0), axis=-1).max()))
+            texels = span * 0.5 * (feat_hw - 1)
             k = max(2, math.ceil(texels / self.rot_anchor_texels) + 1)
             plan.append(k if k < self.ray_taps else None)
         return tuple(plan)
@@ -334,9 +368,10 @@ class ReconEngine:
                            calib, anchors: int):
         """Anchored ray occupancy query for ROTATED-calib refine passes
         (same [B,R,2] xy + [B,R,T] z -> [B,R,T] contract as
-        `_query_taps_fn`, valid for ANY affine calib), or None when the
-        net config can't use it (soft-onehot z, non-orthogonal
-        projection)."""
+        `_query_taps_fn`, valid for ANY affine calib AND for perspective
+        nets — a ray's uv path is a straight chord under both,
+        monoport_net.query_taps_anchored), or None when the net config
+        can't use it (soft-onehot z)."""
         from .config import CN
         from .models.heads import HEAD_SPECS
         from .ops.pallas.fused_ray_mlp import (apply_anchor_packed,
@@ -344,8 +379,7 @@ class ReconEngine:
                                                pack_ray_mlp_params)
 
         opt = CN(net.opt_net)
-        if opt.projection != "orthogonal" or \
-                opt.normalizer.get("soft_onehot", False):
+        if opt.normalizer.get("soft_onehot", False):
             return None
         last_op = HEAD_SPECS[opt.head.IMF][1]
         dtype = self.compute_dtype

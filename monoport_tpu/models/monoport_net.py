@@ -148,24 +148,27 @@ class MonoPortNet(nn.Module):
                             transforms: Optional[jax.Array] = None,
                             anchors: int = 2,
                             head_anchor_fn=None) -> jax.Array:
-        """Eval-mode query of T z-taps per ray under an ARBITRARY affine
-        (orthographic) calib: [B,R,2] recon-space xy + [B,R,T] z ->
+        """Eval-mode query of T z-taps per ray under an arbitrary affine
+        calib OR a perspective net: [B,R,2] recon-space xy + [B,R,T] z ->
         [B, R, T, Res].
 
-        Under any affine calib the projected (u, v, zc) of a ray's taps is
-        LINEAR in the tap z (the demo's orbit camera rotates the view
-        extrinsic, RTL/scene.py:122-137, putting z-terms in the image rows
-        — which invalidates ``query_taps``' shared-uv assumption but keeps
-        linearity). This path projects only the ray's two END taps,
-        gathers features at ``anchors`` evenly spaced points on the uv
-        segment, and reconstructs every tap's feature as the piecewise-
-        linear combination of its two bracketing anchors (hat weights over
-        alpha = the tap's position on the segment). (u, v, zc) per tap are
-        EXACT; the feature itself is approximate wherever the bilinear
-        sample is nonlinear across the segment — spans are ~2 texels/
-        segment at demo orbit angles (DESIGN.md round-4 notes), measured
-        against the exact per-point query by tests/test_anchored.py and
-        scripts/eval_rotated_quality.py. Gathers and skip x-projections
+        The demo's orbit camera rotates the view extrinsic
+        (RTL/scene.py:122-137), putting z-terms in the image rows — which
+        invalidates ``query_taps``' shared-uv assumption. But a ray's
+        projected path stays a STRAIGHT uv segment for both projections:
+        linear in the tap z under any affine calib, and a projective map
+        of a line (still a line, rationally reparameterized) under the
+        z-divide (geometry.py:37-55). This path projects every tap
+        EXACTLY (cheap — matvecs, no gathers), gathers features at
+        ``anchors`` evenly spaced points on the chord, and reconstructs
+        every tap's feature as the piecewise-linear combination of its two
+        bracketing anchors (hat weights over alpha = the tap's exact chord
+        position). (u, v, zc) and the in-image mask per tap are EXACT;
+        the feature itself is approximate wherever the bilinear sample is
+        nonlinear across a lerp segment — spans are ~2 texels/segment at
+        demo orbit angles (DESIGN.md round-4 notes), measured against the
+        exact per-point query by tests/test_anchored.py and
+        scripts/eval_rotated_anchored.py. Gathers and skip x-projections
         drop from T to ``anchors`` per ray (ops/pallas/fused_ray_mlp.py
         apply_anchor_*). Requires the scalar z normalizer.
         """
@@ -174,35 +177,36 @@ class MonoPortNet(nn.Module):
         feats = feats_stages[-1]
         b, r, t = z_world.shape
         k = anchors
-        z0 = z_world[..., :1]
-        z1 = z_world[..., -1:]
-        denom = z1 - z0
-        safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-        alpha = jnp.where(jnp.abs(denom) > 1e-12,
-                          (z_world - z0) / safe, 0.0)       # [B, R, T]
-        base0 = jnp.concatenate([xy_world, z0], axis=-1)
-        base1 = jnp.concatenate([xy_world, z1], axis=-1)
+        base_t = jnp.concatenate([
+            jnp.broadcast_to(xy_world[:, :, None], (b, r, t, 2)),
+            z_world[..., None]], axis=-1)                   # [B, R, T, 3]
         if calibs is not None:
-            xyz0 = self.projection(base0, calibs, transforms)
-            xyz1 = self.projection(base1, calibs, transforms)
+            xyz_t = self.projection(base_t.reshape(b, r * t, 3), calibs,
+                                    transforms).reshape(b, r, t, 3)
         else:
-            xyz0, xyz1 = base0, base1
-        duv = (xyz1 - xyz0)[..., :2]                        # [B, R, 2]
+            xyz_t = base_t
+        uv_t = xyz_t[..., :2]                               # exact per tap
+        uv0 = uv_t[..., :1, :]
+        duv = uv_t[..., -1:, :] - uv0                       # [B, R, 1, 2]
+        # alpha: each tap's exact position on the chord (equals the z lerp
+        # for affine calibs; rational in z under perspective)
+        denom = (duv * duv).sum(-1)                         # [B, R, 1]
+        alpha = jnp.where(denom > 1e-12,
+                          ((uv_t - uv0) * duv).sum(-1)
+                          / jnp.maximum(denom, 1e-12), 0.0)  # [B, R, T]
         ak = jnp.linspace(0.0, 1.0, k, dtype=jnp.float32) if k > 1 \
             else jnp.zeros((1,), jnp.float32)
-        uv_k = xyz0[..., None, :2] + ak[:, None] * duv[..., None, :]
+        uv_k = uv0 + ak[:, None] * duv                      # [B, R, K, 2]
         feat_k = jnp.concatenate(
             [index(f, uv_k.reshape(b, r * k, 2)) for f in feats],
             axis=-1).reshape(b, r, k, -1)
         # hat weights: tap t combines its two bracketing anchors
         pos = alpha[..., None] * (k - 1) - jnp.arange(k, dtype=jnp.float32)
         w_taps = jnp.maximum(0.0, 1.0 - jnp.abs(pos))       # [B, R, T, K]
-        # per-tap mask and projected z (both exact — linear in alpha)
-        uv_t = xyz0[..., None, :2] + alpha[..., None] * duv[..., None, :]
         in_img = ((uv_t[..., 0] >= -1.0) & (uv_t[..., 0] <= 1.0)
                   & (uv_t[..., 1] >= -1.0) & (uv_t[..., 1] <= 1.0))
-        zc = (xyz0[..., 2:] * (1.0 - alpha) + xyz1[..., 2:] * alpha)
-        z_feat = self.normalizer(zc[..., None])[..., 0]     # [B, R, T]
+        zc = xyz_t[..., 2:]                                 # [B, R, T, 1]
+        z_feat = self.normalizer(zc)[..., 0]                # [B, R, T]
         if head_anchor_fn is not None:
             pred = head_anchor_fn(feat_k, w_taps,
                                   z_feat.astype(feat_k.dtype))

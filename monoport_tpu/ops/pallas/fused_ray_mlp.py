@@ -178,8 +178,8 @@ def apply_ray_packed(packed: dict, feat: jax.Array, z: jax.Array,
     return out[:, :r, :, :p["out_dim"]]
 
 
-def _anchor_kernel(n_layers: int, taps: int, n_anchors: int, last_op: str,
-                   compute_dtype, feat_ref, z_ref, w_tap_ref, *refs):
+def _anchor_kernel(n_layers: int, n_anchors: int, last_op: str,
+                   compute_dtype, feat_ref, mix_ref, *refs):
     """Anchored variant of ``_ray_kernel``: the per-ray feature is not
     shared across taps (rotated calibs move (u, v) along the ray), but it
     IS a per-tap convex combination of ``n_anchors`` per-ray anchor
@@ -189,46 +189,63 @@ def _anchor_kernel(n_layers: int, taps: int, n_anchors: int, last_op: str,
     its two hat weights — restoring the shared-projection/gather savings
     the frontal taps kernel gets, at K/T of the dense cost.
 
-    feat_ref [1, K, R, C_f]; w_tap_ref [1, R, taps, K] hat weights;
-    refs as in ``_ray_kernel``."""
+    Grid is (ray tiles, taps) — ONE tap per grid step. Mosaic's stack
+    allocator gives every SSA temporary of a statically-unrolled body its
+    own scoped-VMEM slot, so unrolling taps x layers x anchors blew the
+    16 MB budget at the production head no matter the ordering (64.76M
+    tap-outer, 32.91M layer-outer, 69.38M with explicit reused scratch —
+    scripts/probe_anchor_kernel.py). With taps on the grid the emitted
+    body is one tap's five layers; the K per-anchor projections are
+    computed once per ray tile at the first tap step into per-layer
+    scratch (TPU grids run sequentially, minor-axis innermost, and
+    scratch persists across steps) and reused by the remaining taps.
+
+    feat_ref [1, K, R, C_f]; mix_ref [1, 1, R, 8] (this tap's K hat
+    weights in lanes 0..K-1 and its z in lane K — packed 8-wide so the
+    per-tap block spans full minor dims, the Mosaic block-shape rule);
+    refs = weights as in ``_ray_kernel`` + out_ref [1, 1, R, out_pad] +
+    n_layers scratch buffers xp[i] [K, R, O_i] f32."""
     w_h = refs[:n_layers - 1]
     w_f = refs[n_layers - 1:2 * n_layers - 1]
     w_z = refs[2 * n_layers - 1:3 * n_layers - 1]
     b = refs[3 * n_layers - 1:4 * n_layers - 1]
-    out_ref = refs[-1]
+    out_ref = refs[4 * n_layers - 1]
+    xp = refs[4 * n_layers:]                # n_layers x [K, R, O_i] f32
 
-    # LAYER-outer / tap-inner order: only the CURRENT layer's K anchor
-    # projections plus each tap's (bf16) hidden activation are live at
-    # once — the tap-outer form kept K x n_layers f32 projections
-    # resident and blew the 16 MB scoped-vmem budget 4x at the production
-    # head (measured: 64.76M requested; profile_rotated_r4 first run)
-    h = [None] * taps
-    for i in range(n_layers):
-        xproj = [jnp.dot(feat_ref[0, k], w_f[i][...],
-                         preferred_element_type=jnp.float32)
-                 for k in range(n_anchors)]              # K x [R, O_i]
-        for t in range(taps):                            # static unroll
-            zt = z_ref[0, :, t][:, None].astype(jnp.float32)   # [R, 1]
-            acc = zt * w_z[i][...] + b[i][...]
+    @pl.when(pl.program_id(1) == 0)
+    def _project_anchors():
+        for i in range(n_layers):
             for k in range(n_anchors):
-                wk = w_tap_ref[0, :, t, k][:, None].astype(jnp.float32)
-                acc = acc + wk * xproj[k]
-            if i > 0:
-                acc = acc + jnp.dot(h[t], w_h[i - 1][...],
-                                    preferred_element_type=jnp.float32)
-            acc = _activate(acc, i, n_layers, last_op)
-            if i == n_layers - 1:
-                out_ref[0, t] = acc.astype(out_ref.dtype)
-            else:
-                h[t] = acc.astype(compute_dtype)
+                xp[i][k] = jnp.dot(feat_ref[0, k], w_f[i][...],
+                                   preferred_element_type=jnp.float32)
+
+    mix = mix_ref[0, 0]                                        # [R, 8]
+    zt = mix[:, n_anchors][:, None]                            # [R, 1]
+    wks = [mix[:, k][:, None] for k in range(n_anchors)]       # K x [R, 1]
+    h = None
+    for i in range(n_layers):
+        acc = zt * w_z[i][...] + b[i][...]
+        for k in range(n_anchors):
+            acc = acc + wks[k] * xp[i][k]
+        if i > 0:
+            acc = acc + jnp.dot(h, w_h[i - 1][...],
+                                preferred_element_type=jnp.float32)
+        acc = _activate(acc, i, n_layers, last_op)
+        h = acc.astype(compute_dtype)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def apply_anchor_packed(packed: dict, feat_anchors: jax.Array,
                         w_taps: jax.Array, z: jax.Array, last_op: str,
-                        tile_r: int = 128, compute_dtype=jnp.bfloat16,
+                        tile_r: int = 256, compute_dtype=jnp.bfloat16,
                         interpret: bool = False) -> jax.Array:
     """[B, R, K, C_f] anchor feats + [B, R, T, K] per-tap hat weights +
-    [B, R, T] z-features -> [B, R, T, out_dim]."""
+    [B, R, T] z-features -> [B, R, T, out_dim].
+
+    tile_r=256 measured fastest at the production rotated-frame shape
+    (23040 rays, K=3, T=6): 2.15 ms vs 2.80/3.15/4.45 at 128/64/32 and
+    3.52 ms for the per-point fused head it replaces, same session
+    (scripts/probe_anchor_kernel.py)."""
     p = packed
     bsz, r, n_anchors, c = feat_anchors.shape
     taps = z.shape[-1]
@@ -240,41 +257,44 @@ def apply_anchor_packed(packed: dict, feat_anchors: jax.Array,
     fp = jnp.zeros((bsz, r_pad, n_anchors, c), compute_dtype).at[
         :, :r, :, :p["c_f"]].set(feat_anchors.astype(compute_dtype))
     fp = fp.transpose(0, 2, 1, 3)                  # [B, K, R_pad, C]
-    zp = jnp.zeros((bsz, r_pad, taps), jnp.float32).at[:, :r].set(
-        z.astype(jnp.float32))
-    wp = jnp.zeros((bsz, r_pad, taps, n_anchors), jnp.float32).at[
-        :, :r].set(w_taps.astype(jnp.float32))
+    # "mix" tensor: K hat weights + z per (ray, tap), 8 lanes wide so each
+    # per-tap block spans full minor dims (Mosaic block-shape rule)
+    assert n_anchors + 1 <= 8, n_anchors
+    mix = jnp.zeros((bsz, r_pad, taps, 8), jnp.float32)
+    mix = mix.at[:, :r, :, :n_anchors].set(w_taps.astype(jnp.float32))
+    mix = mix.at[:, :r, :, n_anchors].set(z.astype(jnp.float32))
     tiles = bsz * (r_pad // tile_r)
     fp = fp.reshape(bsz, n_anchors, r_pad // tile_r, tile_r, c).transpose(
         0, 2, 1, 3, 4).reshape(tiles, n_anchors, tile_r, c)
-    zp = zp.reshape(tiles, tile_r, taps)
-    wp = wp.reshape(tiles, tile_r, taps, n_anchors)
+    mix = mix.reshape(tiles, tile_r, taps, 8).transpose(0, 2, 1, 3) \
+        .reshape(tiles, taps, tile_r, 8)
 
     weights = ([w for w in p["w_h"] if w is not None]
                + list(p["w_f"]) + list(p["w_z"]) + list(p["b"]))
     out_pad = p["b"][-1].shape[1]
+    # padded output width per layer (scratch sizing)
+    o_widths = tuple(bb.shape[1] for bb in p["b"])
 
-    kernel = functools.partial(_anchor_kernel, n_layers, taps, n_anchors,
+    kernel = functools.partial(_anchor_kernel, n_layers, n_anchors,
                                last_op, compute_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(tiles,),
+        grid=(tiles, taps),
         in_specs=[pl.BlockSpec((1, n_anchors, tile_r, c),
-                               lambda i: (i, 0, 0, 0),
+                               lambda i, t: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_r, taps), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tile_r, taps, n_anchors),
-                               lambda i: (i, 0, 0, 0),
+                  pl.BlockSpec((1, 1, tile_r, 8), lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
-        out_specs=pl.BlockSpec((1, taps, tile_r, out_pad),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tile_r, out_pad),
+                               lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tiles, taps, tile_r, out_pad),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_anchors, tile_r, o), jnp.float32)
+                        for o in o_widths],
         interpret=interpret,
-    )(fp, zp, wp, *weights)
+    )(fp, mix, *weights)
     out = out.reshape(bsz, r_pad // tile_r, taps, tile_r, out_pad)
     out = out.transpose(0, 1, 3, 2, 4).reshape(bsz, r_pad, taps, out_pad)
     return out[:, :r, :, :p["out_dim"]]

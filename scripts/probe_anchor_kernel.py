@@ -78,7 +78,7 @@ def main():
         jax.random.fold_in(kf, 1), (1, R, T, K)), axis=-1)
     z = jax.random.uniform(jax.random.fold_in(kf, 2), (1, R, T))
 
-    for tile in (128, 64, 32):
+    for tile in (256, 128, 64, 32):
         fn = lambda f, w, z, tile=tile: apply_anchor_packed(  # noqa: E731
             packed, f, w, z, last_op="sigmoid", tile_r=tile)
         out[f"pallas_tile{tile}"] = timed(f"tile{tile}", fn, feat_a, w, z)

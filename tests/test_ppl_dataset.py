@@ -207,3 +207,83 @@ def test_train_step_on_fixture(dyn_root, tmp_path):
         "netG.backbone.hourglass_dim", "64",
     ])
     assert np.isfinite(loss)
+
+
+def test_ppl_training_improves_eval_iou(tmp_path):
+    """Training on the rich PPL fixture IMPROVES held-out point IOU over
+    init — the CI gate for VERDICT r3 item 5 (the full-model convergence
+    run with mid-run resume is scripts/train_ppl_r4.py; its measured
+    ladder lives in DESIGN.md). Tiny net + tiny rich tree keeps this a
+    couple of minutes on one core."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from monoport_tpu.apps.train import main
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.parallel.train_step import (create_train_state,
+                                                  make_optimizer)
+    from monoport_tpu.training.datasets.fixture import make_dynamic_fixture
+
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    make_dynamic_fixture(train_root, subjects=("r0", "r1"), rich=True,
+                         textured=True, broken=False, seed=5)
+    make_dynamic_fixture(val_root, subjects=("rv",), rich=True,
+                         textured=True, broken=False, seed=99)
+
+    overrides = ["dataset.rotation_step", "120",
+                 "dataset.num_sample_geo", "256",
+                 "dataset.blur", "0.0",
+                 "batch_size", "2",
+                 "num_threads", "0",
+                 "freq_plot", "100",
+                 "freq_save", "100000",
+                 "optim", "adam",
+                 "learning_rate", "1e-3",
+                 "checkpoints_path", str(tmp_path / "ckpt"),
+                 "results_path", str(tmp_path / "results"),
+                 "name", "gate",
+                 "netG.backbone.num_stack", "1",
+                 "netG.backbone.num_hourglass", "1",
+                 "netG.backbone.hourglass_dim", "32"]
+
+    cfg_ds = _ds_cfg(num_sample_geo=256)
+    ds_val = PPLDynamicDataset(cfg_ds, val_root, training=False)
+    random.seed(0)
+    np.random.seed(0)
+    items = [ds_val.get_item(i) for i in range(3)]
+    images = jnp.asarray(np.stack([it["image"] for it in items]))
+    calibs = jnp.asarray(np.stack([it["calib"] for it in items]))
+    pts = jnp.asarray(np.stack([it["samples_geo"] for it in items]))
+    labels = np.stack([it["labels_geo"] for it in items]) > 0.5
+
+    from monoport_tpu.apps.train import build_loader, parse_args, \
+        to_train_batch
+    args, cfg = parse_args(["--dataset", "ppl_dynamic", "--",
+                            "dataset.root_render", train_root] + overrides)
+    net = MonoPortNet(cfg.netG)
+
+    def eval_iou(params):
+        pred = np.asarray(net.apply({"params": params}, images, pts,
+                                    calibs))[..., 0] > 0.5
+        return float((pred & labels).sum() / max((pred | labels).sum(), 1))
+
+    loader = build_loader(args, cfg)
+    batch = jax.tree.map(np.asarray,
+                         to_train_batch(next(iter(loader.epoch(0)))))
+    init = create_train_state(net, jax.random.PRNGKey(0), batch,
+                              make_optimizer("adam", 1e-3)).params
+    iou_init = eval_iou(init)
+
+    main(["--dataset", "ppl_dynamic", "--epochs", "4", "--",
+          "dataset.root_render", train_root] + overrides)
+
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        trained = ckptr.restore(os.path.abspath(
+            str(tmp_path / "ckpt" / "gate" / "epoch_3")))["params"]
+    iou_after = eval_iou(trained)
+    assert iou_after > iou_init + 0.05, (iou_init, iou_after)
+    assert iou_after > 0.5, iou_after

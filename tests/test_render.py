@@ -165,3 +165,24 @@ def test_committed_floor_prop():
     scene.shift_floor()
     img2 = np.asarray(scene.render(ext, intr))
     assert np.abs(img2 - img).max() > 0.01  # hotkey 'g' changes the look
+
+
+def test_floor_prop_variety():
+    """All five committed prop sets (scripts/make_floor_prop.py; the
+    reference ships five OBJ+JPG sets, RTL/scene.py:20-43) load and render
+    distinct floors, and shift_floor cycles through every one."""
+    import numpy as np
+    from monoport_tpu.pipeline.scene import MonoPortScene
+
+    scene = MonoPortScene(size=(64, 64))
+    assert len(scene.prop_sets) >= 5, scene.prop_sets
+    ext, intr = scene.update_camera()
+    looks = []
+    for _ in scene.prop_sets:
+        scene.shift_floor()
+        img = np.asarray(scene.render(ext, intr))
+        assert (img.sum(-1) > 0.01).sum() > 400   # a floor is visible
+        looks.append(img)
+    for i in range(len(looks)):
+        for j in range(i + 1, len(looks)):
+            assert np.abs(looks[i] - looks[j]).max() > 0.05, (i, j)
