@@ -409,6 +409,62 @@ def bench_frames(real, single_fps: float, clip: int = 8, iters: int = 8):
     }
 
 
+def bench_frames_sweep(real, single_fps: float, clips=(8, 16, 32)):
+    """Clip-size sweep to saturation (VERDICT r3 item 4): frames/s at
+    each batched clip size, so the bench records where the batch axis
+    stops buying MXU utilization. Same program family as bench_frames."""
+    out = {}
+    for clip in clips:
+        r = bench_frames(real, single_fps, clip=clip,
+                         iters=max(2, 16 // clip))
+        out[f"frames_mode_fps_clip{clip}"] = r["frames_mode_fps"]
+    return out
+
+
+def bench_crossfam(real):
+    """Cross-family generalization (VERDICT r3 item 3): silhouette IOU of
+    the committed weights on bodies the capsule training family cannot
+    emit — superquadric limbs (shaded + flat renders) and the PPL-fixture
+    ellipsoid — at the production 257-ray profile. GT is the analytic
+    occupancy's z-swept silhouette; full sweep over seeds/profiles in
+    scripts/eval_crossfam.py."""
+    from monoport_tpu.training.datasets import superquadric as sq
+    from monoport_tpu.training.datasets.fixture import RADII
+
+    netG, params_g, netC, params_c, engine = real
+    calib = jnp.eye(4, dtype=jnp.float32)[None]
+
+    def gt_sil(occ_fn, res=257, n_z=64):
+        ax = jnp.linspace(-1, 1, res)
+        gx, gy = jnp.meshgrid(ax, ax, indexing="ij")
+        zs = jnp.linspace(-1, 1, n_z)
+        occ = jax.vmap(lambda z: occ_fn(
+            jnp.stack([gx, gy, jnp.full_like(gx, z)], -1)) > 0.5)(zs)
+        return np.asarray(occ.any(axis=0))
+
+    def iou(image, occ_fn):
+        maps = engine.frame(params_g, image[None], calib=calib)
+        got = np.asarray(maps["valid"]) > 0.5
+        gt = gt_sil(occ_fn)
+        return round(float((got & gt).sum() / max((got | gt).sum(), 1)), 4)
+
+    body = sq.sq_body(jax.random.PRNGKey(31337))
+    occ = lambda pts: sq.sq_occupancy(pts, body)  # noqa: E731
+    out = {"crossfam_iou_sq": iou(sq.render_front(body, 512)[0], occ),
+           "crossfam_iou_sq_flat": iou(
+               sq.render_front(body, 512, flat=True)[0], occ)}
+    from monoport_tpu.training.datasets.fixture import _render_rgba
+    rgba = np.asarray(_render_rgba(0, 512), dtype=np.float32) / 255.0
+    ell_img = jnp.asarray((rgba[..., :3] * 2.0 - 1.0)
+                          * (rgba[..., 3:4] > 0.5))
+    radii = jnp.asarray(RADII)
+    out["crossfam_iou_ellipsoid"] = iou(
+        ell_img,
+        lambda pts: (jnp.square(pts / radii).sum(-1) <= 1.0
+                     ).astype(jnp.float32))
+    return out
+
+
 def bench_rotated(real, iters: int = 40):
     """Free-viewpoint path: the demo's orbit camera (RTL/scene.py:122-137)
     rotates the view extrinsic, so the recon calib has z-terms in its
@@ -758,12 +814,28 @@ def main():
     except Exception as e:  # noqa: BLE001
         result["frames_mode_error"] = repr(e)[:200]
     try:
+        if os.environ.get("BENCH_FRAMES_SWEEP", "1") == "1" \
+                and "real_fps" in result:
+            real = _build_real()
+            if real is not None:
+                result.update(bench_frames_sweep(
+                    real, result["real_fps"], clips=(16, 32)))
+    except Exception as e:  # noqa: BLE001
+        result["frames_sweep_error"] = repr(e)[:200]
+    try:
         if os.environ.get("BENCH_ROTATED", "1") == "1":
             real = _build_real()
             if real is not None:
                 result.update(bench_rotated(real))
     except Exception as e:  # noqa: BLE001
         result["rotated_error"] = repr(e)[:200]
+    try:
+        if os.environ.get("BENCH_CROSSFAM", "1") == "1":
+            real = _build_real()
+            if real is not None:
+                result.update(bench_crossfam(real))
+    except Exception as e:  # noqa: BLE001
+        result["crossfam_error"] = repr(e)[:200]
     try:
         if os.environ.get("BENCH_KERNEL", "1") == "1":
             result.update(bench_kernel(engine, params_g, image, calib))

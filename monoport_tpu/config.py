@@ -169,6 +169,9 @@ def get_cfg_defaults() -> CfgNode:
     # ppl_dynamic.py:58-59; configurable here so miniature fixture trees
     # don't need 360 renders per motion)
     c.dataset.rotation_step = 1
+    # network input resolution after crop+resize (reference hardcodes 512,
+    # dataset/utils.py:14-71; configurable so CI can train small)
+    c.dataset.input_size = 512
     # hierarchical reconstruction (replaces ImplicitSegCUDA's Seg3dLossless)
     c.recon = CN()
     c.recon.resolutions = [17, 33, 65, 129, 257]

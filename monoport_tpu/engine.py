@@ -42,7 +42,7 @@ class ReconEngine:
                  use_ray_query: bool = True,
                  march_levels: Optional[tuple] = None,
                  march_rotated: bool = True,
-                 compact_rotated: Optional[float] = 0.625,
+                 compact_rotated: Optional[float] = 0.5,
                  rot_anchors="auto", rot_anchor_texels: float = 1.0,
                  mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
@@ -75,9 +75,15 @@ class ReconEngine:
         (ray_refine._refine_core_compact). Valid-ray geometry is
         unchanged; coarse-rejected rays keep the coarse fallback their
         misses produce anyway; budget overflow degrades to the coarse
-        silhouette. Measured on the trained model (profile_compact_
-        rotated.py, one session): rotated 30.6 -> 32.9 fps with ZERO
-        valid/depth/texture deviation on the bench frame. None = dense
+        silhouette and is counted (frame()['compact_dropped'], logged by
+        rtl_main). Measured on the trained model: rotated 30.6 -> 32.9
+        fps at 0.625 with ZERO valid/depth/texture deviation (r3,
+        profile_compact_rotated.py), 34.8 -> 36.7 at the r4 default 0.5
+        stacked on the anchored refines (profile_rotated_r4.py) — with
+        zero dropped rays across scale-1.0 bodies x orbit poses (the 0.5
+        output is bit-identical to 0.625 whenever nothing drops, since
+        the budget only caps capacity, never changes queried values).
+        None = dense
         per-point queries (the pre-compaction behavior).
         rot_anchors: rotated frames run the REFINE levels through the
         anchored ray query (monoport_net.query_taps_anchored): under any

@@ -110,7 +110,9 @@ class _PPLBase:
                    contrast=self.cfg.aug_con, saturation=self.cfg.aug_sat,
                    hue=self.cfg.aug_hue) if self.training else {}
         image, mask = load_image(image_path, mask_path,
-                                 crop_size=int(512 / scale), input_size=512,
+                                 crop_size=int(512 / scale),
+                                 input_size=int(self.cfg.get("input_size",
+                                                             512) or 512),
                                  mean=self.mean, std=self.std, **aug)
         if self.training and random.random() < 0.5:
             calib[0, :] *= -1
