@@ -44,6 +44,7 @@ class ReconEngine:
                  march_rotated: bool = True,
                  compact_rotated: Optional[float] = 0.5,
                  rot_anchors="auto", rot_anchor_texels: float = 1.0,
+                 tex_bf16: bool = False,
                  mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
@@ -103,6 +104,18 @@ class ReconEngine:
         deviation vs per-point is measured by scripts/
         eval_rotated_anchored.py; exactness structure by
         tests/test_anchored.py.
+        tex_bf16: keep netC's feature maps in compute_dtype (bf16) for
+        the PER-POINT texture query instead of casting f32 (_feats_f32)
+        — halves the 33 MB feats_c materialization and speeds the 512-ch
+        row gathers ~3.5x in isolation (scripts/probe_patch_gather.py).
+        Safe from the >=128k-point bf16 register-allocator crash: the
+        compacted texture queries <=20k points. Color deviation measured
+        ZERO on the bench body. MEASURED A NO-OP end-to-end: 36.14 f32
+        vs 36.05 bf16 vs 36.16 f32-again fps, one session (scripts/
+        probe_tex_bf16.py) — the texture stage's in-frame cost is not
+        gather/materialization bytes. Stays False; kept as the experiment
+        record. Frontal grid texture and all occupancy queries keep f32
+        maps (r3 measured bf16 as no-win there too, DESIGN.md).
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -128,6 +141,7 @@ class ReconEngine:
         self.march_levels = tuple(march_levels) if march_levels else None
         self.march_rotated = march_rotated
         self.compact_rotated = compact_rotated
+        self.tex_bf16 = tex_bf16
         self.rot_anchors = rot_anchors
         self.rot_anchor_texels = rot_anchor_texels
         if self.march_levels:
@@ -647,7 +661,11 @@ class ReconEngine:
             feat_prior = feats_g[-1][-1]
             feats_c = self.netC.apply(params_c, image_c, feat_prior,
                                       method="filter")
-            feats_c = self._feats_f32(feats_c)
+            # per-point (rotated) texture may keep bf16 maps (tex_bf16
+            # docstring): <=20k query points, far below the bf16
+            # register-allocator crash threshold
+            if not (self.tex_bf16 and not use_taps):
+                feats_c = self._feats_f32(feats_c)
             if stage == "cfilter":
                 out["mask"] = (mask.astype(jnp.float32).sum()
                                + feats_c[-1][-1].astype(jnp.float32).sum())
