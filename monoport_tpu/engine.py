@@ -43,7 +43,7 @@ class ReconEngine:
                  march_levels: Optional[tuple] = None,
                  march_rotated: bool = True,
                  compact_rotated: Optional[float] = 0.5,
-                 rot_anchors="auto", rot_anchor_texels: float = 1.0,
+                 rot_anchors="auto", rot_anchor_texels: float = 1.5,
                  tex_bf16: bool = False,
                  mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
@@ -102,8 +102,15 @@ class ReconEngine:
         (the r3 behavior). The initial dense march always stays per-point
         (its full-volume tap span is too long to lerp). End-to-end
         deviation vs per-point is measured by scripts/
-        eval_rotated_anchored.py; exactness structure by
-        tests/test_anchored.py.
+        eval_rotated_anchored.py (--texels sweeps the tolerance);
+        exactness structure by tests/test_anchored.py.
+        rot_anchor_texels default 1.5 (r4 sweep, scripts/probe_texels.py
+        + eval --texels): vs the 1.0 it replaces, the orbit plan gains an
+        anchored MID refine level ((5, 3) vs (None, 4)), measured
+        36.1 -> 37.0 fps bracketed same-session, with valid mismatch
+        2.9e-4 of pixels, depth MAD 0.12 fine voxels, GT-IOU unchanged
+        across 4 orbit poses. 2.0-3.0 buy only ~+0.7 fps more while
+        depth MAD grows to 0.36 at 3.0.
         tex_bf16: keep netC's feature maps in compute_dtype (bf16) for
         the PER-POINT texture query instead of casting f32 (_feats_f32)
         — halves the 33 MB feats_c materialization and speeds the 512-ch

@@ -43,7 +43,7 @@ DATA = os.path.join(os.path.dirname(__file__), os.pardir, "monoport_tpu",
 POSES = ((10.0, 0.0), (20.0, 10.0), (35.0, 10.0), (60.0, 15.0))
 
 
-def build(rot_anchors):
+def build(rot_anchors, texels=1.0):
     cfg = get_cfg_defaults()
     netG = MonoPortNet(cfg.netG)
     params_g = {"params": load_params(
@@ -55,7 +55,8 @@ def build(rot_anchors):
                               select="uncertain")
     eng = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=129,
                       ray_taps=6, ray_window=96, march_levels=(17, 33),
-                      compact_rotated=0.625, rot_anchors=rot_anchors)
+                      compact_rotated=0.625, rot_anchors=rot_anchors,
+                      rot_anchor_texels=texels)
     return eng, params_g, params_c
 
 
@@ -79,11 +80,25 @@ def gt_silhouette_view(caps, calib, res=129, n_z=48):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--texels", type=float, nargs="*", default=None,
+                    help="sweep rot_anchor_texels tolerances at "
+                    "rot_anchors='auto' instead of the default "
+                    "(None, 'auto'@1.0, pinned-3) mode comparison")
+    args = ap.parse_args()
+
     t0 = time.time()
     caps = skeleton3d(jax.random.PRNGKey(31337))
     image = render_front(caps, 512)[0][None]
-    modes = (None, "auto", 3)
-    engines = {k: build(k) for k in modes}
+    if args.texels:
+        modes = (None,) + tuple(f"tx{t:g}" for t in args.texels)
+        engines = {None: build(None)}
+        engines.update({f"tx{t:g}": build("auto", texels=t)
+                        for t in args.texels})
+    else:
+        modes = (None, "auto", 3)
+        engines = {k: build(k) for k in modes}
     out = {}
     for yaw, pitch in POSES:
         ext = orbit_extrinsic(yaw, pitch)
@@ -93,8 +108,10 @@ def main():
         for k, (eng, pg, pc) in engines.items():
             assert not eng._calib_taps_ok(calib)
             results[k] = eng.frame(pg, image, pc, image, calib)
-        out[f"{tag}_plan_auto"] = str(engines["auto"][0]._rot_anchor_plan(
-            calib, image.shape[1]))
+        for k in modes[1:]:
+            if isinstance(k, str):
+                out[f"{tag}_plan_{k}"] = str(
+                    engines[k][0]._rot_anchor_plan(calib, image.shape[1]))
         gt = gt_silhouette_view(caps, calib)
         vd = np.asarray(results[None]["valid"]) > 0.5
         out[f"{tag}_iou_gt_pp"] = round(
