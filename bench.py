@@ -495,11 +495,45 @@ def bench_rotated(real, iters: int = 40):
                                          iters)
     mode = ("march_pyramid" if engine.march_levels and engine.march_rotated
             else "hierarchy")
-    return {"rotated_fps": round(fps, 2),
-            "rotated_fps_incl_tunnel_overhead": round(fps_lower, 2),
-            "rotated_mode": mode,
-            "rotated_compact": engine.compact_rotated,
-            "rotated_anchors": str(rot_k)}
+    out = {"rotated_fps": round(fps, 2),
+           "rotated_fps_incl_tunnel_overhead": round(fps_lower, 2),
+           "rotated_mode": mode,
+           "rotated_compact": engine.compact_rotated,
+           "rotated_anchors": str(rot_k)}
+
+    # adaptive compaction budget (the r4 demo loop, rtl_main): one warmup
+    # frame measures the valid fraction, the next frames run the snapped
+    # COMPACT_LADDER rung — exactly the feedback the pipeline applies
+    if engine.compact_rotated is not None:
+        from monoport_tpu.engine import _snap_budget
+        warm = engine.frame(params_g, image, params_c,
+                            image if netC is not None else None,
+                            calib=calib)
+        hint = engine.compact_hint_from_valid(
+            float(np.asarray(warm["valid"]).astype(np.float32).mean()))
+        budget = _snap_budget(hint, engine.compact_rotated)
+        out["rotated_adaptive_budget"] = budget
+        if budget != engine.compact_rotated:
+            def frame_a(params_g, params_c, img):
+                return engine._frame_impl(
+                    params_g, params_c, img,
+                    img if netC is not None else None, calib,
+                    use_taps=False, use_grid=False, rot_k=rot_k,
+                    compact_budget=budget)
+
+            fps_a, fps_a_low = marginal_frame_rate(frame_a, params_g,
+                                                   params_c, image, iters)
+            o = engine.frame(params_g, image, params_c,
+                             image if netC is not None else None,
+                             calib=calib, compact_hint=hint)
+            out["rotated_adaptive_fps"] = round(fps_a, 2)
+            out["rotated_adaptive_fps_incl_tunnel_overhead"] = round(
+                fps_a_low, 2)
+            out["rotated_adaptive_dropped"] = np.asarray(
+                o["compact_dropped"]).tolist()
+        else:
+            out["rotated_adaptive_fps"] = out["rotated_fps"]
+    return out
 
 
 V5E_PEAK_BF16_TFLOPS = 197.0          # MXU peak, one v5e chip

@@ -194,6 +194,10 @@ class FrameState:
         self.view_mode = MODES["view"]
         self.latest_jpeg: bytes | None = None
         self.lock = threading.Lock()
+        # adaptive rotated-compaction hint: the composite stage writes
+        # the fetched valid fraction back, the device stage feeds it to
+        # the NEXT frame (engine.compact_hint_from_valid / COMPACT_LADDER)
+        self.compact_hint: float | None = None
 
 
 def build_pipeline(args, cfg, state: FrameState):
@@ -264,13 +268,21 @@ def build_pipeline(args, cfg, state: FrameState):
         tex = jnp.nan_to_num(out.get("render_tex", out["render_norm"]),
                              nan=1.0)
         mask = out["mask"].astype(jnp.float32)
-        stack = jnp.concatenate([norm, tex, mask], axis=-1)  # [S, S, 7]
+        # 8th plane: the VALID fraction (depth-based, stable under
+        # compaction drops — texture drops whiten 'mask' and would
+        # death-spiral an adaptive budget fed from it), broadcast so the
+        # one uint8 fetch carries it for free
+        frac = out["valid"].astype(jnp.float32).mean()
+        frac_plane = jnp.full(mask.shape[:2] + (1,), frac, jnp.float32)
+        stack = jnp.concatenate([norm, tex, mask, frac_plane],
+                                axis=-1)                     # [S, S, 8]
         return jnp.clip(stack * 255.0, 0, 255).astype(jnp.uint8)
 
     def stage_device(d):
         """The fused on-device frame program (stages 7-15)."""
         out = engine.frame(params_g, d["input_netG"], params_c,
-                           d["input_netC"], d["calib"])
+                           d["input_netC"], d["calib"],
+                           compact_hint=state.compact_hint)
         d["display_packed"] = _pack_display(out)
         d.update(out)
         return d
@@ -281,6 +293,11 @@ def build_pipeline(args, cfg, state: FrameState):
         packed = np.asarray(d["display_packed"]).astype(np.float32) / 255.0
         norm_img, tex_img = packed[..., 0:3], packed[..., 3:6]
         mask = packed[..., 6:7]
+        # feed the measured valid fraction back as the NEXT frame's
+        # adaptive compaction hint (uint8 quantization ~0.4% is inside
+        # the hint's 1.3x safety headroom)
+        state.compact_hint = engine.compact_hint_from_valid(
+            float(packed[0, 0, 7]))
         d["render_norm_host"] = norm_img
         d["render_tex_host"] = tex_img
         fg = (tex_img if state.server_mode == "TEXTURE" else norm_img)

@@ -22,6 +22,22 @@ from .models import MonoPortNet
 from .recon.depth_peel import colorize, depth_peel, shade_normal, visualize
 from .recon.hierarchy import HierarchicalRecon
 
+# Adaptive rotated-compaction budget rungs: a BOUNDED set of compiled
+# frame variants (each rung used is one extra cached trace). Floor 0.25
+# keeps a tiny subject from demanding ever-smaller programs; measured
+# dC/dN: 0.5 -> 0.25 on the bench body is 36.9 -> 41.5 fps with zero
+# drops (scripts/probe_points_cost.py).
+COMPACT_LADDER = (0.25, 0.375, 0.5, 0.625)
+
+
+def _snap_budget(hint: float, ceiling: float) -> float:
+    """Smallest COMPACT_LADDER rung >= hint, capped at the constructor
+    ceiling (a capped rung may drop rays; telemetry counts them)."""
+    for rung in COMPACT_LADDER:
+        if rung >= hint:
+            return min(rung, ceiling)
+    return ceiling
+
 
 class ReconEngine:
     """Jitted frame program: (params, images, calib) -> rendered maps.
@@ -86,6 +102,16 @@ class ReconEngine:
         the budget only caps capacity, never changes queried values).
         None = dense
         per-point queries (the pre-compaction behavior).
+        This value is the CEILING of the adaptive per-frame budget:
+        frame(compact_hint=...) snaps the caller's measured valid
+        fraction UP the COMPACT_LADDER and runs that (smaller = faster)
+        program variant — the bench body's ~24%-of-window silhouette
+        runs the 0.25 variant at 41.5 vs 36.9 fps, bit-identical output
+        (scripts/probe_points_cost.py; dC/dN is real, ~3 ms per 9k
+        points). compact_hint_from_valid() builds the hint (1.3x safety)
+        from a previous frame's fetched valid fraction — the r4 demo
+        loop feeds it back each frame (apps/rtl_main). No hint = this
+        ceiling, always safe.
         rot_anchors: rotated frames run the REFINE levels through the
         anchored ray query (monoport_net.query_taps_anchored): under any
         affine calib a ray's projected (u, v) is linear in the tap z, so
@@ -161,7 +187,8 @@ class ReconEngine:
         # fall back to the exact per-point fine pass)
         self._frame = jax.jit(self._frame_impl,
                               static_argnames=("use_taps", "use_grid",
-                                               "rot_k", "stage"))
+                                               "rot_k", "stage",
+                                               "compact_budget"))
         # vmapped variants: keyed on (texture stream?, taps ok?)
         # (in_axes differ; retraces for new shapes are jax.jit's job)
         self._frames_jit: dict[tuple, Any] = {}
@@ -566,13 +593,19 @@ class ReconEngine:
     def _frame_impl(self, params_g: Any, params_c: Any, image_g: jax.Array,
                     image_c: Optional[jax.Array], calib: jax.Array,
                     use_taps: bool = True, use_grid: bool = False,
-                    rot_k: tuple = (), stage: Optional[str] = None):
+                    rot_k: tuple = (), stage: Optional[str] = None,
+                    compact_budget: Optional[float] = None):
         """``stage``: optional prefix truncation for the stage profilers
         and the roofline cost model (scripts/profile_stages_*,
         scripts/roofline_stages.py) — 'filter' | 'recon' | 'shade' |
         'cfilter' stop after that stage and return {'mask': scalar dep}
         (plus whatever is already computed), so consecutive prefixes
-        difference into per-stage costs. None = the full frame."""
+        difference into per-stage costs. None = the full frame.
+        ``compact_budget``: static per-trace override of
+        self.compact_rotated (the adaptive ladder, frame() docstring);
+        None = the constructor ceiling."""
+        compact_eff = (self.compact_rotated if compact_budget is None
+                       else compact_budget)
         params_g = self._cast(params_g)
         params_c = self._cast(params_c)
         image_g = self._cast(image_g)
@@ -626,7 +659,7 @@ class ReconEngine:
                                window=self.ray_window,
                                query_taps_fn=qt if use_taps else qa,
                                query_grid_fn=qg, march_taps=use_taps,
-                               compact=(self.compact_rotated
+                               compact=(compact_eff
                                         if not use_taps else None),
                                telemetry=compact_telem)
         else:
@@ -694,7 +727,7 @@ class ReconEngine:
 
                 tex_canvas = self._texture_canvas(
                     maps, resolution, query_color=query_color,
-                    compact=(self.compact_rotated if not use_taps
+                    compact=(compact_eff if not use_taps
                              else None), telemetry=compact_telem)
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
@@ -753,23 +786,53 @@ class ReconEngine:
                     " subject window) — " + ", ".join(parts))
         return "compact budgets ok — " + ", ".join(parts)
 
+    def compact_hint_from_valid(self, valid_fraction: float,
+                                safety: float = 1.3) -> float:
+        """Adaptive-budget hint from a PREVIOUS frame's fetched valid
+        fraction (valid pixels / full fine lattice). Rescales to the
+        texture/refine WINDOW the budgets are fractions of (every valid
+        pixel lies inside the subject-bbox window) and adds headroom for
+        inter-frame subject growth. Feed the result to
+        frame(compact_hint=...); overflow, if the subject outgrows the
+        headroom in one frame, degrades those rays to the coarse
+        silhouette for that frame only and is counted in
+        frame()['compact_dropped']."""
+        w = self.ray_window or self.fine_res
+        window_frac = (self.fine_res / float(w)) ** 2
+        return float(valid_fraction) * window_frac * safety
+
     def frame(self, params_g: Any, image_g: jax.Array,
               params_c: Any = None, image_c: Optional[jax.Array] = None,
-              calib: Optional[jax.Array] = None):
+              calib: Optional[jax.Array] = None,
+              compact_hint: Optional[float] = None):
         """Run one frame. images are NHWC [1, H, W, 3]; calib [1, 4, 4].
 
         The ray-structured fast path is selected per call from the calib:
         z-free image-plane rows (frontal pifu_calib) use it; a rotated
         view camera falls back to the exact per-point fine pass (one extra
-        compile the first time each variant is hit)."""
+        compile the first time each variant is hit).
+
+        compact_hint: measured window-valid fraction from a previous
+        frame (compact_hint_from_valid) — rotated frames snap it UP the
+        COMPACT_LADDER and run that budget variant instead of the
+        constructor ceiling (smaller = faster; output is bit-identical
+        whenever nothing drops, and drops are counted). Ignored on
+        frontal frames and when compaction is off."""
         if calib is None:
             calib = jnp.eye(4, dtype=jnp.float32)[None]
         use_taps = self._calib_taps_ok(calib)
+        budget = None
+        if (compact_hint is not None and not use_taps
+                and self.compact_rotated is not None):
+            budget = _snap_budget(compact_hint, self.compact_rotated)
+            if budget == self.compact_rotated:
+                budget = None        # ceiling variant = the default trace
         return self._frame(params_g, params_c, image_g, image_c, calib,
                            use_taps=use_taps,
                            use_grid=self._calib_grid_ok(calib),
                            rot_k=(() if use_taps else self._rot_anchor_plan(
-                               calib, image_g.shape[1])))
+                               calib, image_g.shape[1])),
+                           compact_budget=budget)
 
     def _frames_call(self, params_g, params_c, images_g, images_c, calibs,
                      use_taps: bool, use_grid: bool, rot_k: tuple):

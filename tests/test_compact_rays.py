@@ -214,3 +214,94 @@ def test_compact_dropped_telemetry_fires_exactly_on_overflow():
     n_valid_fine = np.asarray(out_r["valid"]).sum()  # proxy: plenty valid
     assert n_valid_fine > 256
     assert "OVERFLOW" in tiny.compact_report(out_t)
+
+
+def test_snap_budget_ladder():
+    from monoport_tpu.engine import COMPACT_LADDER, _snap_budget
+
+    assert COMPACT_LADDER[0] == 0.25          # floor rung
+    assert _snap_budget(0.1, 0.5) == 0.25     # tiny hints floor at 0.25
+    assert _snap_budget(0.25, 0.5) == 0.25
+    assert _snap_budget(0.26, 0.5) == 0.375
+    assert _snap_budget(0.4, 0.5) == 0.5
+    assert _snap_budget(0.9, 0.5) == 0.5      # capped at the ceiling
+    assert _snap_budget(0.3, 0.25) == 0.25    # ceiling below the rung
+
+
+def test_adaptive_rung_bit_identical_when_nothing_drops():
+    """A smaller COMPACT_LADDER rung is BIT-identical to the dense pass
+    whenever every valid ray fits it (the budget only caps capacity,
+    never changes queried values) — the adaptive demo loop is a pure
+    speed knob on typical subjects. The sphere covers ~14% of the
+    lattice, under the 0.25 floor rung."""
+    dense = _run(None)
+    rung = _run(0.25)
+    np.testing.assert_array_equal(np.asarray(dense.depth),
+                                  np.asarray(rung.depth))
+    np.testing.assert_array_equal(np.asarray(dense.valid),
+                                  np.asarray(rung.valid))
+
+
+def test_adaptive_hint_selects_the_rung_program():
+    """frame(compact_hint=...) must run EXACTLY the program an engine
+    constructed with that rung as its ceiling runs — bitwise-equal
+    outputs and telemetry (the hint is a program selector, nothing
+    more). Random-init nets leave ~everything valid, so the 0.25 rung
+    drops rays here: both paths must drop the SAME rays. Frontal frames
+    ignore the hint entirely."""
+    from tests.test_engine import _nets
+
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    rot = jnp.asarray([[[0.95, 0.0, 0.3, 0.0],
+                        [0.0, 1.0, 0.1, 0.0],
+                        [-0.3, 0.0, 0.95, 0.0],
+                        [0.0, 0.0, 0.0, 1.0]]], jnp.float32)
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, rot)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, rot,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+              ray_taps=4, march_levels=(9, 17), ray_window=24,
+              rot_anchors=None)
+    ceiling = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
+    explicit = ReconEngine(netG, netC, compact_rotated=0.25, **kw)
+    hinted = ceiling.frame(params_g, image, params_c, image, calib=rot,
+                           compact_hint=0.1)     # snaps to the 0.25 rung
+    want = explicit.frame(params_g, image, params_c, image, calib=rot)
+    for k in ("valid", "depth", "render_tex", "compact_dropped"):
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(hinted[k]), err_msg=k)
+    # frontal frames ignore the hint entirely (taps path, no compaction)
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    f_base = ceiling.frame(params_g, image, params_c, image, calib=eye)
+    f_hint = ceiling.frame(params_g, image, params_c, image, calib=eye,
+                           compact_hint=0.1)
+    np.testing.assert_array_equal(np.asarray(f_base["render_tex"]),
+                                  np.asarray(f_hint["render_tex"]))
+
+
+def test_compact_hint_from_valid_math():
+    from tests.test_engine import _nets
+
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+    netG, _ = _nets()
+    eng = ReconEngine(netG, recon=HierarchicalRecon(resolutions=(9, 17),
+                                                    budgets=(0, 2048)),
+                      mode="ray", fine_res=257, ray_window=192)
+    # valid fraction over the 257^2 lattice rescaled to the 192^2 window
+    # (every valid pixel lies inside the subject-bbox window) + 1.3x
+    hint = eng.compact_hint_from_valid(0.136)
+    assert abs(hint - 0.136 * (257.0 / 192.0) ** 2 * 1.3) < 1e-9
+    # no window -> the window IS the lattice
+    eng2 = ReconEngine(netG, recon=HierarchicalRecon(resolutions=(9, 17),
+                                                     budgets=(0, 2048)),
+                       mode="ray", fine_res=257, ray_window=None)
+    assert abs(eng2.compact_hint_from_valid(0.2) - 0.26) < 1e-9
