@@ -60,7 +60,7 @@ class ReconEngine:
                  march_rotated: bool = True,
                  compact_rotated: Optional[float] = 0.5,
                  rot_anchors="auto", rot_anchor_texels: float = 1.5,
-                 tex_bf16: bool = False,
+                 tex_bf16: bool = False, tex_reuse_compact: bool = True,
                  mesh=None):
         """mode='dense': full hierarchical volume at the final resolution
         (exact, returns sdf). mode='ray': coarse volume + per-ray fine
@@ -149,6 +149,20 @@ class ReconEngine:
         gather/materialization bytes. Stays False; kept as the experiment
         record. Frontal grid texture and all occupancy queries keep f32
         maps (r3 measured bf16 as no-win there too, DESIGN.md).
+        tex_reuse_compact: on compacted rotated frames, the per-point
+        TEXTURE query rides the FINAL refine level's compaction instead of
+        re-deriving its own window, valid resample and flatnonzero from
+        the assembled full-grid maps (ray_refine compact_state -> the
+        reuse branch of _texture_canvas). The queried set is the refine's
+        coarse-valid rays — a same-budget superset of the texture's
+        final-valid set — at the refine window's lattice, so colors at
+        every valid pixel are identical at stride 1 (both lattices are
+        integer fine pixels and the world mapping is the texture's own
+        (r)-convention); what disappears is exactly the small-op glue the
+        r4 roofline shows the stage is bound by (one _axis_window, two
+        _sample_grid resamples, one flatnonzero + gather round,
+        DESIGN.md "rotated texture is latency-bound"). False restores
+        the independent texture compaction (A/B knob).
         mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
@@ -175,6 +189,7 @@ class ReconEngine:
         self.march_rotated = march_rotated
         self.compact_rotated = compact_rotated
         self.tex_bf16 = tex_bf16
+        self.tex_reuse_compact = tex_reuse_compact
         self.rot_anchors = rot_anchors
         self.rot_anchor_texels = rot_anchor_texels
         if self.march_levels:
@@ -494,7 +509,8 @@ class ReconEngine:
 
     def _texture_canvas(self, maps, resolution: int, color_grid=None,
                         query_color=None, compact: Optional[float] = None,
-                        telemetry: Optional[list] = None):
+                        telemetry: Optional[list] = None,
+                        reuse: Optional[dict] = None):
         """Texture canvas with the bbox window, for BOTH color queries.
 
         When a fine-pass window is configured (`ray_window`), the color
@@ -520,7 +536,15 @@ class ReconEngine:
         ray_refine._compact_rays); unqueried pixels stay background-white.
         Colors at valid pixels are identical; the final canvas masks by
         ``maps.valid`` anyway, so this only skips MLP+gather work the
-        mask was about to discard (the rotated-texture cost lever)."""
+        mask was about to discard (the rotated-texture cost lever).
+
+        ``reuse``: the final refine level's compact_state (tex_reuse_compact
+        docstring) — the color query runs directly at that level's gathered
+        rays and refined depths, skipping this function's own window/
+        valid/flatnonzero derivation entirely. World coordinates still use
+        the texture (r)-convention (surface_world_points parity), NOT the
+        refine's (r-1) step, so colors at valid pixels match the
+        independent path exactly at stride 1."""
         r = resolution
         b_min = jnp.asarray(self.recon.b_min, jnp.float32)
         b_max = jnp.asarray(self.recon.b_max, jnp.float32)
@@ -538,6 +562,32 @@ class ReconEngine:
             return colorize(maps, query_color, r, self.recon.b_min,
                             self.recon.b_max)
         from .recon.ray_refine import _axis_window, _sample_grid
+        if reuse is not None:
+            # ride the final refine level's compaction: same window, same
+            # gathered rays, refined depth straight from the core — no
+            # second _axis_window / valid resample / flatnonzero round
+            w = reuse["w"]
+            x0, sx, y0, sy = (reuse["x0"], reuse["sx"],
+                              reuse["y0"], reuse["sy"])
+            idx, safe = reuse["idx"], reuse["safe"]
+            if telemetry is not None:
+                # a ray dropped at the refine level loses its texture too
+                telemetry.append(reuse["dropped"])
+            xw = reuse["aw"] * sr[0] + b_min[0]
+            yw = reuse["bw"] * sr[1] + b_min[1]
+            zw_sel = (float(r) - reuse["z"]) * sr[2] + b_min[2]   # [K]
+            pts = jnp.stack([xw[safe // w], yw[safe % w], zw_sel],
+                            axis=-1)[None]                        # [1, K, 3]
+            col = query_color(pts)[0]                             # [K, 3]
+            color_w = jnp.ones((w * w, 3), col.dtype).at[idx].set(
+                col, mode="drop").reshape(w, w, 3)
+            fr = jnp.arange(r, dtype=jnp.float32)
+            u = jnp.clip((fr - x0) / sx, 0.0, w - 1)
+            v = jnp.clip((fr - y0) / sy, 0.0, w - 1)
+            color = jnp.stack([_sample_grid(color_w[..., k], u, v)
+                               for k in range(3)], axis=-1)
+            color = color * 0.5 + 0.5
+            return jnp.where(maps.valid[..., None], color, 1.0)
         x0, sx = _axis_window(maps.valid.any(axis=1), r, r, 1.0, w)
         y0, sy = _axis_window(maps.valid.any(axis=0), r, r, 1.0, w)
         aw = x0 + jnp.arange(w, dtype=jnp.float32) * sx
@@ -646,11 +696,15 @@ class ReconEngine:
             (use_taps and qt is not None)
             or (not use_taps and self.march_rotated))
         compact_telem: list = []
+        tex_state: list = []
         if march:
             # volume-free fast path: no hierarchy, no depth peel, no sdf
             from .recon.ray_refine import ray_pyramid
             resolution = self.fine_res
             vol, counts = None, []
+            want_state = (self.tex_reuse_compact and not use_taps
+                          and self.netC is not None
+                          and params_c is not None)
             maps = ray_pyramid(query_occ, self.fine_res,
                                levels=self.march_levels, taps=self.ray_taps,
                                balance_value=self.recon.balance_value,
@@ -661,7 +715,9 @@ class ReconEngine:
                                query_grid_fn=qg, march_taps=use_taps,
                                compact=(compact_eff
                                         if not use_taps else None),
-                               telemetry=compact_telem)
+                               telemetry=compact_telem,
+                               compact_state=(tex_state if want_state
+                                              else None))
         else:
             vol, counts = self.recon(query_occ, return_counts=True)
             if self.mode == "ray":
@@ -728,7 +784,8 @@ class ReconEngine:
                 tex_canvas = self._texture_canvas(
                     maps, resolution, query_color=query_color,
                     compact=(compact_eff if not use_taps
-                             else None), telemetry=compact_telem)
+                             else None), telemetry=compact_telem,
+                    reuse=tex_state[0] if tex_state else None)
             render_tex, mask_tex = visualize(tex_canvas, self.render_size)
             out.update({"render_tex": render_tex, "mask": mask_tex})
         if compact_telem:

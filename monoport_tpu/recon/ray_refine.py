@@ -65,7 +65,8 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                  spacing=(1.0, 1.0), query_taps_fn: Callable | None = None,
                  query_grid_fn: Callable | None = None,
                  compact_budget: int | None = None,
-                 telemetry: list | None = None):
+                 telemetry: list | None = None,
+                 compact_state: list | None = None):
     """Shared fine pass over an outer-product ray grid.
 
     depth_f/valid_f: [H, W] upsampled coarse maps for these rays;
@@ -94,6 +95,12 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
     to the coarse silhouette) as a traced i32 scalar, so overflow is
     observable at runtime instead of silently losing detail (engine
     surfaces it as frame()['compact_dropped']).
+    compact_state: optional list; the compact path appends its gathered
+    index set + refined per-ray depth so a downstream per-point TEXTURE
+    query can ride the SAME compaction instead of re-deriving window,
+    valid resample and flatnonzero from the assembled full-grid maps
+    (engine._texture_canvas ``reuse`` — the rotated texture stage is
+    latency-bound on exactly those small ops, DESIGN.md r4 roofline).
     """
     # fine z taps bracketing the coarse crossing: c in depth-from-viewer
     # units; the crossing lies within +-1 coarse voxel (= scale fine units)
@@ -112,7 +119,8 @@ def _refine_core(query_fn: Callable, depth_f: jax.Array, valid_f: jax.Array,
                                     rf, offsets, balance_value, step, b_min,
                                     spacing, compact_budget,
                                     query_taps_fn=query_taps_fn,
-                                    telemetry=telemetry)
+                                    telemetry=telemetry,
+                                    compact_state=compact_state)
 
     c_taps = depth_f[..., None] + offsets                       # [H, W, T]
     c_taps = jnp.clip(c_taps, 0.0, rf - 1)
@@ -167,7 +175,8 @@ def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
                          rf: int, offsets, balance_value: float, step,
                          b_min, spacing, budget: int,
                          query_taps_fn: Callable | None = None,
-                         telemetry: list | None = None):
+                         telemetry: list | None = None,
+                         compact_state: list | None = None):
     """Compacted fine pass: gather the coarse-valid rays (padded to
     ``budget``), query only their taps, scatter the crossing results
     back onto the full lattice. Rotated-view frames lose the grid
@@ -180,11 +189,13 @@ def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
     h, w = depth_f.shape
     n = h * w
     flat_valid = valid_f.reshape(-1)
-    if telemetry is not None:
+    dropped = None
+    if telemetry is not None or compact_state is not None:
         # valid rays beyond the budget degrade to the coarse silhouette —
         # count them so overflow is observable (engine 'compact_dropped')
-        telemetry.append(jnp.maximum(
-            flat_valid.sum(dtype=jnp.int32) - budget, 0))
+        dropped = jnp.maximum(flat_valid.sum(dtype=jnp.int32) - budget, 0)
+    if telemetry is not None:
+        telemetry.append(dropped)
     idx = jnp.flatnonzero(flat_valid, size=budget, fill_value=n)  # [K]
     sel_ok = idx < n
     safe = jnp.where(sel_ok, idx, 0)
@@ -207,6 +218,12 @@ def _refine_core_compact(query_fn: Callable, depth_f, valid_f, xw1, yw1,
     z, hit, v1, v2, c1, c2 = _first_crossing(vals, c_taps, balance_value)
     z = jnp.where(hit, jnp.clip(z, 0.0, float(rf)), d_sel)
     dvdz = (v1 - v2) / jnp.maximum(c1 - c2, 1e-6)
+    if compact_state is not None:
+        # hand the gathered index set + refined per-ray depth to a
+        # downstream texture query (engine._texture_canvas reuse): the
+        # texture's window/valid/flatnonzero would re-derive exactly this
+        compact_state.append({"idx": idx, "safe": safe, "z": z,
+                              "dropped": dropped})
 
     # scatter back (mode='drop' ignores the fill rows); unqueried rays
     # keep the coarse depth / a viewer-facing normal, and — on budget
@@ -283,7 +300,8 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                      query_taps_fn: Callable | None = None,
                      query_grid_fn: Callable | None = None,
                      compact: float | None = None,
-                     telemetry: list | None = None) -> SurfaceMaps:
+                     telemetry: list | None = None,
+                     compact_state: list | None = None) -> SurfaceMaps:
     """Fine pass from coarse per-ray maps (rc^2 grid, depth in rc-voxel
     units) instead of a coarse volume — the shared tail of ``ray_refine``
     and the volume-free ``ray_pyramid``.
@@ -292,7 +310,11 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
     padded to a static budget of this fraction of the lattice
     (_refine_core_compact; the rotated-view cost lever).
     ``telemetry``: see ``_refine_core`` — collects compact dropped-ray
-    counts."""
+    counts.
+    ``compact_state``: windowed compact path only — appends a dict with
+    the window geometry (x0/sx/y0/sy, aw/bw fine-unit axes, w) plus the
+    core's gathered indices and refined per-ray depth, so the texture
+    query can reuse this level's compaction (engine._texture_canvas)."""
     rf = fine_res
     scale = (rf - 1) / (rc - 1)
     depth_f, valid_f = _upsampled_coarse(coarse, rf, scale)
@@ -320,6 +342,7 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
     bw = y0 + jnp.arange(window, dtype=jnp.float32) * sy_stride
     d_w = _sample_grid(depth_f, aw, bw)
     v_w = _sample_grid(valid_f.astype(jnp.float32), aw, bw) > 0.0
+    core_state: list | None = [] if compact_state is not None else None
     maps_w = _refine_core(query_fn, d_w, v_w, aw, bw, rf, taps, scale,
                           balance_value, b_min, b_max,
                           spacing=(sx_stride, sy_stride),
@@ -327,7 +350,13 @@ def refine_from_maps(query_fn: Callable, coarse: SurfaceMaps, rc: int,
                           query_grid_fn=query_grid_fn,
                           compact_budget=_compact_rays(compact, window,
                                                        window),
-                          telemetry=telemetry)
+                          telemetry=telemetry,
+                          compact_state=core_state)
+    if core_state:
+        compact_state.append({**core_state[0], "w": window,
+                              "x0": x0, "sx": sx_stride,
+                              "y0": y0, "sy": sy_stride,
+                              "aw": aw, "bw": bw})
 
     # resample the refined window back onto the full fine grid (exact
     # gather when stride == 1); outside the window keep the coarse maps
@@ -429,7 +458,8 @@ def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
                 query_grid_fn: Callable | None = None,
                 compact: float | None = None,
                 march_taps: bool = True,
-                telemetry: list | None = None) -> SurfaceMaps:
+                telemetry: list | None = None,
+                compact_state: list | None = None) -> SurfaceMaps:
     """Volume-free coarse-to-fine surface localization, all per-ray:
     dense march at levels[0], then successive ``refine_from_maps`` passes
     through the remaining levels and finally ``fine_res`` (with the
@@ -471,7 +501,8 @@ def ray_pyramid(query_fn: Callable, fine_res: int, levels=(33, 65),
                             b_min=b_min, b_max=b_max, window=window,
                             query_taps_fn=fns[-1],
                             query_grid_fn=query_grid_fn, compact=compact,
-                            telemetry=telemetry)
+                            telemetry=telemetry,
+                            compact_state=compact_state)
 
 
 def _sample_grid(img: jax.Array, xi: jax.Array, yi: jax.Array) -> jax.Array:

@@ -305,3 +305,91 @@ def test_compact_hint_from_valid_math():
                                                      budgets=(0, 2048)),
                        mode="ray", fine_res=257, ray_window=None)
     assert abs(eng2.compact_hint_from_valid(0.2) - 0.26) < 1e-9
+
+
+def test_texture_reuses_refine_compaction():
+    """tex_reuse_compact: the rotated texture query rides the FINAL refine
+    level's compaction (ray_refine compact_state) instead of re-deriving
+    window/valid/flatnonzero. Recon outputs must be BIT-identical (reuse
+    only changes the texture stage), and on a stride-1 subject (fits the
+    window at integer start) the rendered texture is bit-identical too:
+    both paths query every valid pixel's color at the same world point
+    (texture (r)-convention) and mask the rest."""
+    import os
+
+    import pytest
+
+    from monoport_tpu.config import get_cfg_defaults
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+    from monoport_tpu.render.camera import orbit_extrinsic
+    from monoport_tpu.training.datasets.capsule import (render_front,
+                                                        skeleton3d)
+    from monoport_tpu.utils.params_io import load_params
+
+    data = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "monoport_tpu", "data")
+    pg = os.path.join(data, "netg_capsule.npz")
+    pc = os.path.join(data, "netc_capsule.npz")
+    if not (os.path.exists(pg) and os.path.exists(pc)):
+        pytest.skip("committed capsule checkpoints absent")
+    cfg = get_cfg_defaults()
+    netG = MonoPortNet(cfg.netG)
+    netC = MonoPortNet(cfg.netC)
+    params_g = {"params": load_params(pg)[0]}
+    params_c = {"params": load_params(pc)[0]}
+
+    # small body -> the refine/texture windows run at stride 1
+    caps = skeleton3d(jax.random.PRNGKey(7), scale_range=(0.4, 0.45))
+    image = render_front(caps, 512)[0][None]
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
+                                 np.eye(4, dtype=np.float32)))
+    recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
+                              select="uncertain")
+    kw = dict(recon=recon, mode="ray", fine_res=65, ray_taps=6,
+              ray_window=48, march_levels=(17, 33), compact_rotated=0.625)
+    reuse = ReconEngine(netG, netC, tex_reuse_compact=True, **kw)
+    indep = ReconEngine(netG, netC, tex_reuse_compact=False, **kw)
+    out_r = reuse.frame(params_g, image, params_c, image, calib=rot)
+    out_i = indep.frame(params_g, image, params_c, image, calib=rot)
+
+    assert np.asarray(out_r["valid"]).sum() > 50   # the body is there
+    for k in ("valid", "depth", "render_norm"):    # recon untouched
+        np.testing.assert_array_equal(np.asarray(out_r[k]),
+                                      np.asarray(out_i[k]), err_msg=k)
+    # telemetry contract: 2 refine levels + texture, nothing dropped
+    dropped = np.asarray(out_r["compact_dropped"])
+    assert dropped.shape[0] == 3 and (dropped == 0).all(), dropped
+    np.testing.assert_array_equal(
+        np.asarray(out_r["render_tex"]), np.asarray(out_i["render_tex"]),
+        err_msg="stride-1 texture must be bit-identical under reuse")
+
+
+def test_texture_reuse_frontal_untouched():
+    """tex_reuse_compact only engages on compacted rotated frames — the
+    frontal grid texture is byte-identical with the flag on or off."""
+    from tests.test_engine import _nets
+
+    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+
+    netG, netC = _nets()
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    pts = jnp.zeros((1, 64, 3), jnp.float32)
+    eye = jnp.eye(4, dtype=jnp.float32)[None]
+    params_g = netG.init(jax.random.PRNGKey(0), image, pts, eye)
+    params_c = netC.init(jax.random.PRNGKey(1), image, pts, eye,
+                         feat_prior=jnp.zeros((1, 128, 128, 256)))
+    recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
+    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+              ray_taps=4, march_levels=(9, 17), ray_window=24,
+              rot_anchors=None, compact_rotated=0.625)
+    on = ReconEngine(netG, netC, tex_reuse_compact=True, **kw)
+    off = ReconEngine(netG, netC, tex_reuse_compact=False, **kw)
+    o_on = on.frame(params_g, image, params_c, image, calib=eye)
+    o_off = off.frame(params_g, image, params_c, image, calib=eye)
+    np.testing.assert_array_equal(np.asarray(o_on["render_tex"]),
+                                  np.asarray(o_off["render_tex"]))
