@@ -31,6 +31,11 @@ import time
 
 import numpy as np
 
+# process-start reference: BENCH_BUDGET_S bounds the WHOLE run (the core
+# section's relay compiles count against the driver's timeout too), so the
+# section budget is whatever the core left over
+_T0 = time.monotonic()
+
 import jax
 import jax.numpy as jnp
 
@@ -665,7 +670,7 @@ def bench_backbones(engine, params_g, params_c, image):
     return out
 
 
-def bench_real(iters: int = 60):
+def bench_real(real, iters: int = 60):
     # 60 on-device frames (~2s): the tunnel's fetch RTT (~0.5-1s, run-to-
     # run noisy) is subtracted from the measured wall time, so short loops
     # let RTT variance swing the FPS estimate by 10s of percent (observed
@@ -675,12 +680,7 @@ def bench_real(iters: int = 60):
     analytic swap anywhere — the code path users run. Reports FPS plus
     geometry quality: the ray path vs the model's own dense 257^3 volume
     (path exactness) and the model vs the analytic ground truth (model
-    quality). Returns {} if the checkpoint is absent."""
-    import os
-
-    real = _build_real()
-    if real is None or os.environ.get("BENCH_REAL") == "0":
-        return {}
+    quality)."""
     netG, params_g, netC, params_c, engine = real
     recon = engine.recon
 
@@ -786,6 +786,61 @@ def bench_real(iters: int = 60):
     return out
 
 
+# Global wall-clock budget for the AUXILIARY sections (seconds). Round 4's
+# official artifact was rc=124/parsed=null: bench.py guarded sections
+# against exceptions but not wall-clock, and printed its single JSON line
+# only at the very end, so the driver's timeout destroyed every number —
+# including the core fps measured 20+ minutes earlier (VERDICT r4 item 1).
+# The budget is checked before each section; whatever would start after the
+# deadline is recorded in 'skipped_sections' instead of run. The default
+# sits near the round-3 full-run scale (that run completed on this driver).
+DEFAULT_BUDGET_S = 1800.0
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def run_sections(result: dict, sections, budget_s: float,
+                 clock=time.monotonic, emit=_emit) -> dict:
+    """Run auxiliary bench sections under a global wall-clock budget,
+    emitting the (monotonically growing) result line INCREMENTALLY.
+
+    ``result`` must already hold the core metric; it is emitted before any
+    section runs, so even a hard kill mid-section leaves a parsable tail —
+    the driver parses the last JSON line of stdout, and each emitted line
+    is a strict superset of the previous one. ``sections`` is a list of
+    ``(name, fn)``; ``fn(result) -> dict`` is merged into result. A section
+    that raises records ``{name}_error`` (degrade, never sink the core
+    number); a section that would START after the deadline is skipped and
+    listed in ``skipped_sections``. Per-section wall time is recorded in
+    ``bench_section_s`` so future budgets can be calibrated from the
+    artifact itself. Pure host logic — unit-tested with a fake clock and
+    stub sections in tests/test_bench_budget.py."""
+    t0 = clock()
+    deadline = None if budget_s is None else t0 + budget_s
+    emit(result)
+    skipped = []
+    section_s = {}
+    for name, fn in sections:
+        if deadline is not None and clock() >= deadline:
+            skipped.append(name)
+            continue
+        t1 = clock()
+        try:
+            result.update(fn(result) or {})
+        except Exception as e:  # noqa: BLE001
+            result[f"{name}_error"] = repr(e)[:200]
+        section_s[name] = round(clock() - t1, 1)
+        result["bench_section_s"] = dict(section_s)
+        emit(result)
+    if skipped:
+        result["skipped_sections"] = skipped
+    result["bench_total_s"] = round(clock() - t0, 1)
+    emit(result)
+    return result
+
+
 def main():
     frame_impl, params_g, params_c, image, calib, engine = build_frame()
     iters = 60  # long on-device chain: amortizes the noisy fetch RTT
@@ -833,65 +888,56 @@ def main():
             "recon_band_overflow": any(
                 c > b for c, b in zip(counts, budgets)),
         })
-    # auxiliary sections must never sink the core number: the driver
-    # records this one JSON line, so degrade gracefully per section
-    try:
-        result.update(bench_real())  # trained-weights path (no analytic swap)
-    except Exception as e:  # noqa: BLE001
-        result["real_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_FRAMES", "1") == "1" \
-                and "real_fps" in result:
-            real = _build_real()
-            if real is not None:
-                result.update(bench_frames(real, result["real_fps"]))
-    except Exception as e:  # noqa: BLE001
-        result["frames_mode_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_FRAMES_SWEEP", "1") == "1" \
-                and "real_fps" in result:
-            real = _build_real()
-            if real is not None:
-                result.update(bench_frames_sweep(
-                    real, result["real_fps"], clips=(16, 32)))
-    except Exception as e:  # noqa: BLE001
-        result["frames_sweep_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_ROTATED", "1") == "1":
-            real = _build_real()
-            if real is not None:
-                result.update(bench_rotated(real))
-    except Exception as e:  # noqa: BLE001
-        result["rotated_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_CROSSFAM", "1") == "1":
-            real = _build_real()
-            if real is not None:
-                result.update(bench_crossfam(real))
-    except Exception as e:  # noqa: BLE001
-        result["crossfam_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_KERNEL", "1") == "1":
-            result.update(bench_kernel(engine, params_g, image, calib))
-    except Exception as e:  # noqa: BLE001
-        result["kernel_error"] = repr(e)[:200]
-    try:
-        if os.environ.get("BENCH_BACKBONES", "1") == "1":
-            result.update(bench_backbones(engine, params_g, params_c, image))
-    except Exception as e:  # noqa: BLE001
-        result["backbones_error"] = repr(e)[:200]
-    try:
-        result["canary_tflops_bf16"] = round(canary_tflops(), 1)
-    except Exception:  # noqa: BLE001
-        pass
-    try:
-        if os.environ.get("BENCH_MFU", "1") == "1":
-            real = _build_real()
-            if real is not None:
-                result.update(bench_mfu(real, result))
-    except Exception as e:  # noqa: BLE001
-        result["mfu_error"] = repr(e)[:200]
-    print(json.dumps(result))
+    # Auxiliary sections: value-ordered (VERDICT r4 item 1c), each checked
+    # against the wall-clock budget, with the result line re-emitted after
+    # every completed section so a driver timeout can never erase what
+    # already ran. One shared trained-model build — the sections reuse the
+    # same engine (and so the same jit caches) instead of retracing.
+    real_box: list = []
+
+    def _real():
+        if not real_box:
+            real_box.append(_build_real())
+        return real_box[0]
+
+    def _gated(env: str, needs_real: bool, fn):
+        def run(result):
+            if os.environ.get(env, "1") != "1":
+                return {}
+            if needs_real:
+                real = _real()
+                return fn(real, result) if real is not None else {}
+            return fn(result)
+        return run
+
+    sections = [
+        ("real", _gated("BENCH_REAL", True,
+                        lambda real, res: bench_real(real))),
+        ("rotated", _gated("BENCH_ROTATED", True,
+                           lambda real, res: bench_rotated(real))),
+        ("canary", lambda res: {"canary_tflops_bf16":
+                                round(canary_tflops(), 1)}),
+        ("mfu", _gated("BENCH_MFU", True, bench_mfu)),
+        ("crossfam", _gated("BENCH_CROSSFAM", True,
+                            lambda real, res: bench_crossfam(real))),
+        ("frames", _gated("BENCH_FRAMES", True,
+                          lambda real, res: bench_frames(
+                              real, res.get("real_fps")))),
+        ("frames_sweep", _gated("BENCH_FRAMES_SWEEP", True,
+                                lambda real, res: bench_frames_sweep(
+                                    real, res.get("real_fps"),
+                                    clips=(16, 32)))),
+        ("kernel", _gated("BENCH_KERNEL", False,
+                          lambda res: bench_kernel(engine, params_g,
+                                                   image, calib))),
+        ("backbones", _gated("BENCH_BACKBONES", False,
+                             lambda res: bench_backbones(
+                                 engine, params_g, params_c, image))),
+    ]
+    budget = float(os.environ.get("BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    result["bench_core_s"] = round(time.monotonic() - _T0, 1)
+    run_sections(result, sections,
+                 max(0.0, budget - (time.monotonic() - _T0)))
 
 
 if __name__ == "__main__":
