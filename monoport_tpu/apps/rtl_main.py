@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import get_cfg_defaults
-from ..engine import ReconEngine
+from ..engine import EngineCfg, ReconEngine
 from ..models import MonoPortNet
 from ..pipeline.runtime import Pipeline
 from ..pipeline.scene import MonoPortScene
@@ -216,15 +216,15 @@ def build_pipeline(args, cfg, state: FrameState):
         dilate=cfg.recon.dilate,
         balance_value=cfg.recon.balance_value,
         select=cfg.recon.select)
-    engine = ReconEngine(
-        netG, netC, recon=recon, mode=cfg.recon.mode,
-        fine_res=cfg.recon.fine_res, ray_taps=cfg.recon.ray_taps,
-        ray_window=cfg.recon.ray_window or None,
-        march_levels=(tuple(cfg.recon.march_levels)
-                      if cfg.recon.mode == "ray" else None),
-        march_rotated=cfg.recon.march_rotated,
-        compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
-        use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu")
+    engine = ReconEngine(netG, netC, recon=recon,
+                 config=EngineCfg.flat(mode=cfg.recon.mode,
+                                       fine_res=cfg.recon.fine_res,
+                                       ray_taps=cfg.recon.ray_taps,
+                                       ray_window=cfg.recon.ray_window or None,
+                                       march_levels=tuple(cfg.recon.march_levels) if cfg.recon.mode == "ray" else None,
+                                       march_rotated=cfg.recon.march_rotated,
+                                       compute_dtype=getattr(_jnp, cfg.tpu.compute_dtype),
+                                       use_pallas=cfg.tpu.use_pallas and jax.default_backend() != "cpu"))
     seg = Segmentation.load_default()  # trained MatteNet (box fallback if absent)
     scene = MonoPortScene(size=(256, 256))
 

@@ -12,6 +12,7 @@ instead of doing five GPU round-trips per frame.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Optional
 
@@ -39,161 +40,186 @@ def _snap_budget(hint: float, ceiling: float) -> float:
     return ceiling
 
 
+# --------------------------------------------------------------------------
+# Engine configuration — grouped, frozen (VERDICT r4 item 6: the flat
+# 20-knob constructor hid the rotated/texture/ray interactions; the groups
+# below make them explicit and hashable). Measurement history that used to
+# live in the constructor docstring is in DESIGN.md ("engine knob history").
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RayCfg:
+    """Reconstruction-path shape.
+
+    mode: 'dense' = full hierarchical volume at the final resolution
+      (exact, frame output keeps 'sdf'); 'ray' = coarse volume + per-ray
+      fine refinement (recon/ray_refine.py) — the real-time path.
+    fine_res: fine ray-grid resolution (reference volume: 257,
+      RTL/main.py:187).
+    taps: fine z-taps per ray bracketing the coarse crossing.
+    window: optional window^2 ray block over the subject bbox (the
+      detection-region prior, RTL/main.py:290); None = full lattice.
+    march_levels: e.g. (33, 65) — replace coarse hierarchy + depth peel
+      with the volume-free ray-march pyramid (ray_refine.ray_pyramid) on
+      eligible frames; emits no 'sdf'/'recon_counts'. Requires mode='ray'
+      and direction='front'.
+    use_ray_query: ALLOW the ray-structured fine pass (shared gather +
+      skip x-projections per ray, ops/pallas/fused_ray_mlp.py). Only valid
+      for calibs with z-free image-plane rows; frame() checks per call and
+      falls back for rotated cameras. False disables it outright.
+    """
+    mode: str = "dense"
+    fine_res: int = 257
+    taps: int = 6
+    window: Optional[int] = None
+    march_levels: Optional[tuple] = None
+    use_ray_query: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RotatedCfg:
+    """Rotated-view (orbit camera / perspective net) path.
+
+    march: rotated calibs also take the march pyramid via exact per-point
+      queries (the march axis IS the view ray for any calib); False
+      restores the hierarchy fallback (keeps 'sdf' for rotated frames).
+    compact: query only the coarse-valid rays of each refine level and
+      only the valid texture pixels, padded to this fraction of the
+      lattice; None = dense. This is the CEILING of the adaptive
+      per-frame budget (frame(compact_hint=...) snaps up COMPACT_LADDER).
+      Overflow degrades to the coarse silhouette and is counted in
+      frame()['compact_dropped'].
+    anchors: refine levels run the anchored ray query
+      (monoport_net.query_taps_anchored: K feature gathers per ray +
+      per-tap lerp). 'auto' = per-level K from the concrete calib
+      (engine._rot_anchor_plan); an int pins K; None/0 = exact per-point
+      refines.
+    anchor_texels: 'auto' planner tolerance — max feature texels a lerp
+      segment may span (sweep history in DESIGN.md).
+    """
+    march: bool = True
+    compact: Optional[float] = 0.5
+    anchors: Any = "auto"
+    anchor_texels: float = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class TextureCfg:
+    """netC texture-stage knobs (rotated per-point path).
+
+    bf16: keep netC feature maps in compute_dtype for the per-point
+      texture query instead of casting f32. Measured a no-op end-to-end
+      (DESIGN.md r4); kept as the A/B record.
+    reuse_compact: the per-point texture query rides the final refine
+      level's compaction (window, gathered rays, refined depths) instead
+      of re-deriving window/valid/flatnonzero from the assembled maps.
+    """
+    bf16: bool = False
+    reuse_compact: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineCfg:
+    """Grouped ReconEngine configuration (frozen — one engine, one config).
+
+    render_size: output canvas (reference: 256, RTL/main.py:257).
+    direction: depth-peel view direction for the dense path.
+    compute_dtype: backbone/MLP compute dtype (bf16 = the demo path; the
+      feature maps feeding point queries are upcast f32, see _feats_f32).
+    use_pallas: fused VMEM-resident Pallas kernels for the surface MLPs.
+    pallas_interpret: interpret-mode kernels (CPU tests).
+    """
+    render_size: int = 256
+    direction: str = "front"
+    compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
+    ray: RayCfg = RayCfg()
+    rotated: RotatedCfg = RotatedCfg()
+    texture: TextureCfg = TextureCfg()
+
+    _FLAT = {  # legacy flat knob name -> (group, field); None = top level
+        "render_size": None, "direction": None, "compute_dtype": None,
+        "use_pallas": None, "pallas_interpret": None,
+        "mode": ("ray", "mode"), "fine_res": ("ray", "fine_res"),
+        "ray_taps": ("ray", "taps"), "ray_window": ("ray", "window"),
+        "march_levels": ("ray", "march_levels"),
+        "use_ray_query": ("ray", "use_ray_query"),
+        "march_rotated": ("rotated", "march"),
+        "compact_rotated": ("rotated", "compact"),
+        "rot_anchors": ("rotated", "anchors"),
+        "rot_anchor_texels": ("rotated", "anchor_texels"),
+        "tex_bf16": ("texture", "bf16"),
+        "tex_reuse_compact": ("texture", "reuse_compact"),
+    }
+
+    @classmethod
+    def flat(cls, **knobs) -> "EngineCfg":
+        """Build a grouped config from the legacy flat knob names (the
+        pre-r5 ReconEngine keyword surface) — one mapping, kept for the
+        measurement-record scripts whose call sites are history."""
+        top: dict = {}
+        groups: dict = {"ray": {}, "rotated": {}, "texture": {}}
+        for name, value in knobs.items():
+            where = cls._FLAT[name]     # KeyError = unknown knob, loudly
+            if where is None:
+                top[name] = value
+            else:
+                groups[where[0]][where[1]] = value
+        return cls(ray=RayCfg(**groups["ray"]),
+                   rotated=RotatedCfg(**groups["rotated"]),
+                   texture=TextureCfg(**groups["texture"]), **top)
+
+
 class ReconEngine:
     """Jitted frame program: (params, images, calib) -> rendered maps.
 
     Args:
       netG / netC: MonoPortNet modules (netC optional — texture off).
       recon: HierarchicalRecon config (resolutions/budgets/tau).
-      render_size: output canvas size (reference: 256, RTL/main.py:257).
-    """
-
-    def __init__(self, netG: MonoPortNet, netC: Optional[MonoPortNet] = None,
-                 recon: Optional[HierarchicalRecon] = None,
-                 render_size: int = 256, direction: str = "front",
-                 compute_dtype=jnp.float32, mode: str = "dense",
-                 fine_res: int = 257, ray_taps: int = 6,
-                 ray_window: int | None = None,
-                 use_pallas: bool = False, pallas_interpret: bool = False,
-                 use_ray_query: bool = True,
-                 march_levels: Optional[tuple] = None,
-                 march_rotated: bool = True,
-                 compact_rotated: Optional[float] = 0.5,
-                 rot_anchors="auto", rot_anchor_texels: float = 1.5,
-                 tex_bf16: bool = False, tex_reuse_compact: bool = True,
-                 mesh=None):
-        """mode='dense': full hierarchical volume at the final resolution
-        (exact, returns sdf). mode='ray': coarse volume + per-ray fine
-        refinement (recon/ray_refine.py) — the real-time path.
-        use_pallas: run the surface MLPs with the fused VMEM-resident
-        Pallas kernels (ops/pallas/).
-        use_ray_query: ALLOW the ray-structured fine pass (one gather +
-        shared skip x-projections per ray, ops/pallas/fused_ray_mlp.py).
-        It is only valid for calibrations with z-free image-plane rows
-        (frontal pifu_calib, RTL/recon.py:13-21); frame()/frames() check
-        the concrete calib per call and fall back to the exact per-point
-        fine pass for rotated view cameras. False disables it outright.
-        march_levels: e.g. (33, 65) — replace the coarse hierarchy +
-        depth peel with the volume-free ray-march pyramid
-        (recon/ray_refine.ray_pyramid) on frontal taps-eligible frames:
-        better thin-limb quality AND ~10 ms/frame less volume-op cost on
-        TPU (r3 stage ledger, DESIGN.md). March mode emits no
-        'sdf'/'recon_counts'.
-        march_rotated: rotated view calibs (the demo's orbit camera) ALSO
-        take the march pyramid, via the exact per-point query — the
-        pyramid marches along the recon volume's z axis, which IS the
-        view ray for any calib (the recon space is the view camera's
-        clip space, RTL/recon.py:5-25), so the geometry needs no
-        taps/grid structure. False restores the r2 behavior (hierarchy
-        fallback, which keeps 'sdf' in the output for rotated frames).
-        compact_rotated: on the rotated per-point march, query only the
-        coarse-valid rays of each refine level AND only the valid
-        texture pixels, padded to this fraction of the lattice
-        (ray_refine._refine_core_compact). Valid-ray geometry is
-        unchanged; coarse-rejected rays keep the coarse fallback their
-        misses produce anyway; budget overflow degrades to the coarse
-        silhouette and is counted (frame()['compact_dropped'], logged by
-        rtl_main). Measured on the trained model: rotated 30.6 -> 32.9
-        fps at 0.625 with ZERO valid/depth/texture deviation (r3,
-        profile_compact_rotated.py), 34.8 -> 36.7 at the r4 default 0.5
-        stacked on the anchored refines (profile_rotated_r4.py) — with
-        zero dropped rays across scale-1.0 bodies x orbit poses (the 0.5
-        output is bit-identical to 0.625 whenever nothing drops, since
-        the budget only caps capacity, never changes queried values).
-        None = dense
-        per-point queries (the pre-compaction behavior).
-        This value is the CEILING of the adaptive per-frame budget:
-        frame(compact_hint=...) snaps the caller's measured valid
-        fraction UP the COMPACT_LADDER and runs that (smaller = faster)
-        program variant — the bench body's ~24%-of-window silhouette
-        runs the 0.25 variant at 41.5 vs 36.9 fps, bit-identical output
-        (scripts/probe_points_cost.py; dC/dN is real, ~3 ms per 9k
-        points). compact_hint_from_valid() builds the hint (1.3x safety)
-        from a previous frame's fetched valid fraction — the r4 demo
-        loop feeds it back each frame (apps/rtl_main). No hint = this
-        ceiling, always safe.
-        rot_anchors: rotated frames run the REFINE levels through the
-        anchored ray query (monoport_net.query_taps_anchored): under any
-        affine calib a ray's projected (u, v) is linear in the tap z, so
-        features are gathered at K anchor points per ray and every tap
-        combines its two bracketing anchors — gathers and skip
-        x-projections drop from T to K per ray, restoring most of the
-        frontal taps-kernel sharing the rotated lattice loses. (u, v, zc)
-        per tap stay exact; only the feature lerp is approximate, on the
-        scale of its per-segment texel span. "auto" (default) picks K PER
-        REFINE LEVEL from the concrete calib so each segment spans <=
-        rot_anchor_texels feature texels, falling back to exact per-point
-        where K >= taps would be needed (_rot_anchor_plan); an int pins K
-        for every level (tests/sweeps); None/0 = exact per-point refines
-        (the r3 behavior). The initial dense march always stays per-point
-        (its full-volume tap span is too long to lerp). End-to-end
-        deviation vs per-point is measured by scripts/
-        eval_rotated_anchored.py (--texels sweeps the tolerance);
-        exactness structure by tests/test_anchored.py.
-        rot_anchor_texels default 1.5 (r4 sweep, scripts/probe_texels.py
-        + eval --texels): vs the 1.0 it replaces, the orbit plan gains an
-        anchored MID refine level ((5, 3) vs (None, 4)), measured
-        36.1 -> 37.0 fps bracketed same-session, with valid mismatch
-        2.9e-4 of pixels, depth MAD 0.12 fine voxels, GT-IOU unchanged
-        across 4 orbit poses. 2.0-3.0 buy only ~+0.7 fps more while
-        depth MAD grows to 0.36 at 3.0.
-        tex_bf16: keep netC's feature maps in compute_dtype (bf16) for
-        the PER-POINT texture query instead of casting f32 (_feats_f32)
-        — halves the 33 MB feats_c materialization and speeds the 512-ch
-        row gathers ~3.5x in isolation (scripts/probe_patch_gather.py).
-        Safe from the >=128k-point bf16 register-allocator crash: the
-        compacted texture queries <=20k points. Color deviation measured
-        ZERO on the bench body. MEASURED A NO-OP end-to-end: 36.14 f32
-        vs 36.05 bf16 vs 36.16 f32-again fps, one session (scripts/
-        probe_tex_bf16.py) — the texture stage's in-frame cost is not
-        gather/materialization bytes. Stays False; kept as the experiment
-        record. Frontal grid texture and all occupancy queries keep f32
-        maps (r3 measured bf16 as no-win there too, DESIGN.md).
-        tex_reuse_compact: on compacted rotated frames, the per-point
-        TEXTURE query rides the FINAL refine level's compaction instead of
-        re-deriving its own window, valid resample and flatnonzero from
-        the assembled full-grid maps (ray_refine compact_state -> the
-        reuse branch of _texture_canvas). The queried set is the refine's
-        coarse-valid rays — a same-budget superset of the texture's
-        final-valid set — at the refine window's lattice, so colors at
-        every valid pixel are identical at stride 1 (both lattices are
-        integer fine pixels and the world mapping is the texture's own
-        (r)-convention); what disappears is exactly the small-op glue the
-        r4 roofline shows the stage is bound by (one _axis_window, two
-        _sample_grid resamples, one flatnonzero + gather round,
-        DESIGN.md "rotated texture is latency-bound"). False restores
-        the independent texture compaction (A/B knob).
-        mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
+      config: EngineCfg — every shape/path knob, grouped (ray / rotated /
+        texture). Legacy flat knob names build one via EngineCfg.flat().
+      mesh: optional jax.sharding.Mesh with a 'points' axis — the point/
         ray batches of every occupancy and texture query are sharded over
         it (features replicated, XLA partitions the gathers+MLP GEMMs and
         all-gathers the tiny occupancy outputs over ICI). The TPU analog
         of SURVEY §5.7's long-axis scaling. Pallas heads stay enabled
         under a mesh: they are pure maps over rays/points, so each one is
         wrapped in shard_map over 'points' (_shard_map_head) and runs
-        per-chip while XLA manages the surrounding collectives."""
-        assert mode in ("dense", "ray")
+        per-chip while XLA manages the surrounding collectives.
+    """
+
+    def __init__(self, netG: MonoPortNet, netC: Optional[MonoPortNet] = None,
+                 recon: Optional[HierarchicalRecon] = None,
+                 config: Optional[EngineCfg] = None, mesh=None):
+        cfg = config or EngineCfg()
+        self.config = cfg
+        assert cfg.ray.mode in ("dense", "ray")
         self.netG = netG
         self.netC = netC
         self.recon = recon or HierarchicalRecon()
-        self.render_size = render_size
-        self.direction = direction
-        self.compute_dtype = compute_dtype
-        self.mode = mode
-        self.fine_res = fine_res
-        self.ray_taps = ray_taps
-        self.ray_window = ray_window
-        self.use_pallas = use_pallas
-        self.pallas_interpret = pallas_interpret
-        self.use_ray_query = use_ray_query
-        self.march_levels = tuple(march_levels) if march_levels else None
-        self.march_rotated = march_rotated
-        self.compact_rotated = compact_rotated
-        self.tex_bf16 = tex_bf16
-        self.tex_reuse_compact = tex_reuse_compact
-        self.rot_anchors = rot_anchors
-        self.rot_anchor_texels = rot_anchor_texels
+        # flat attribute mirrors of the grouped config: the engine body
+        # (and the probe/profile scripts) read these by their r1-r4 names
+        self.render_size = cfg.render_size
+        self.direction = cfg.direction
+        self.compute_dtype = cfg.compute_dtype
+        self.mode = cfg.ray.mode
+        self.fine_res = cfg.ray.fine_res
+        self.ray_taps = cfg.ray.taps
+        self.ray_window = cfg.ray.window
+        self.use_pallas = cfg.use_pallas
+        self.pallas_interpret = cfg.pallas_interpret
+        self.use_ray_query = cfg.ray.use_ray_query
+        self.march_levels = (tuple(cfg.ray.march_levels)
+                             if cfg.ray.march_levels else None)
+        self.march_rotated = cfg.rotated.march
+        self.compact_rotated = cfg.rotated.compact
+        self.tex_bf16 = cfg.texture.bf16
+        self.tex_reuse_compact = cfg.texture.reuse_compact
+        self.rot_anchors = cfg.rotated.anchors
+        self.rot_anchor_texels = cfg.rotated.anchor_texels
         if self.march_levels:
-            assert mode == "ray" and direction == "front", \
+            assert self.mode == "ray" and self.direction == "front", \
                 "march_levels requires mode='ray' and the frontal viewer"
         self.mesh = mesh
         # use_taps is static: frame() picks the variant per call from the

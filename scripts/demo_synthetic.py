@@ -35,7 +35,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from monoport_tpu.config import CN
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.models.heads import HEADS
     from monoport_tpu.models.heads.surface_classifier import SurfaceClassifier
@@ -100,7 +100,7 @@ def main(argv=None):
     variables = {"params": state.params}
     recon = HierarchicalRecon(resolutions=(17, 33, 65),
                               budgets=(0, 8192, 32768))
-    engine = ReconEngine(net, None, recon=recon, render_size=256)
+    engine = ReconEngine(net, None, recon=recon, config=EngineCfg.flat(render_size=256))
 
     _, train_iou = recon_iou(0, engine, variables)
     out, iou = recon_iou(len(ds) - 1, engine, variables)

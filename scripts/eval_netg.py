@@ -20,7 +20,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 from monoport_tpu import get_cfg_defaults  # noqa: E402
-from monoport_tpu.engine import ReconEngine  # noqa: E402
+from monoport_tpu.engine import EngineCfg, ReconEngine  # noqa: E402
 from monoport_tpu.models import MonoPortNet  # noqa: E402
 from monoport_tpu.recon.hierarchy import HierarchicalRecon  # noqa: E402
 from monoport_tpu.training.datasets.capsule import (  # noqa: E402
@@ -48,12 +48,12 @@ def eval_ckpt(path: str):
     cfg = get_cfg_defaults()
     netG = MonoPortNet(cfg.netG)
     params_g = {"params": load_params(path)[0]}
-    engine = ReconEngine(
-        netG, recon=HierarchicalRecon(resolutions=(17, 33, 65),
-                                      budgets=(0, 4096, 16384),
-                                      select="uncertain"),
-        mode="ray", fine_res=257, ray_taps=6, ray_window=192,
-        compute_dtype=jnp.bfloat16, use_pallas=True, march_levels=(33, 65))
+    engine = ReconEngine(netG,
+                 recon=HierarchicalRecon(resolutions=(17, 33, 65), budgets=(0, 4096, 16384), select="uncertain"),
+                 config=EngineCfg.flat(mode="ray", fine_res=257, ray_taps=6,
+                                       ray_window=192,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=True, march_levels=(33, 65)))
     calib = jnp.eye(4, dtype=jnp.float32)[None]
     ious = {}
     for seed in HELD_OUT_SEEDS:

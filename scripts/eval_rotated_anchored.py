@@ -29,7 +29,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from monoport_tpu import get_cfg_defaults  # noqa: E402
-from monoport_tpu.engine import ReconEngine  # noqa: E402
+from monoport_tpu.engine import EngineCfg, ReconEngine  # noqa: E402
 from monoport_tpu.models import MonoPortNet  # noqa: E402
 from monoport_tpu.recon.calib import pifu_calib  # noqa: E402
 from monoport_tpu.recon.hierarchy import HierarchicalRecon  # noqa: E402
@@ -53,10 +53,12 @@ def build(rot_anchors, texels=1.0):
         os.path.join(DATA, "netc_capsule.npz"))[0]}
     recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
                               select="uncertain")
-    eng = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=129,
-                      ray_taps=6, ray_window=96, march_levels=(17, 33),
-                      compact_rotated=0.625, rot_anchors=rot_anchors,
-                      rot_anchor_texels=texels)
+    eng = ReconEngine(netG, netC, recon=recon,
+              config=EngineCfg.flat(mode="ray", fine_res=129, ray_taps=6,
+                                    ray_window=96, march_levels=(17, 33),
+                                    compact_rotated=0.625,
+                                    rot_anchors=rot_anchors,
+                                    rot_anchor_texels=texels))
     return eng, params_g, params_c
 
 

@@ -42,7 +42,7 @@ import bench  # noqa: E402
 
 def build(projection: str, march_rotated: bool = True):
     from monoport_tpu import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
@@ -55,13 +55,15 @@ def build(projection: str, march_rotated: bool = True):
     params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
     recon = HierarchicalRecon(resolutions=(17, 33, 65),
                               budgets=(0, 4096, 16384), select="uncertain")
-    engine = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=bench._RAY_TAPS,
-                         ray_window=bench._RAY_WINDOW,
-                         compute_dtype=jnp.bfloat16, use_pallas=True,
-                         march_levels=bench._MARCH_LEVELS,
-                         march_rotated=march_rotated,
-                         rot_anchors=bench._ROT_ANCHORS)
+    engine = ReconEngine(netG, None, recon=recon,
+                 config=EngineCfg.flat(mode="ray", fine_res=257,
+                                       ray_taps=bench._RAY_TAPS,
+                                       ray_window=bench._RAY_WINDOW,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=True,
+                                       march_levels=bench._MARCH_LEVELS,
+                                       march_rotated=march_rotated,
+                                       rot_anchors=bench._ROT_ANCHORS))
     return engine, params_g
 
 

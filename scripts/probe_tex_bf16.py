@@ -32,7 +32,7 @@ import bench  # noqa: E402
 
 
 def main():
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.render.camera import orbit_extrinsic
     from monoport_tpu.training.datasets.capsule import (render_front,
@@ -48,14 +48,17 @@ def main():
     out = {"canary_pre": round(bench.canary_tflops(), 1)}
     print(json.dumps(out), flush=True)
 
-    eng_b = ReconEngine(netG, netC, recon=engine.recon, mode="ray",
-                        fine_res=257, ray_taps=engine.ray_taps,
-                        ray_window=engine.ray_window,
-                        compute_dtype=jnp.bfloat16, use_pallas=True,
-                        march_levels=engine.march_levels,
-                        march_rotated=True, rot_anchors=engine.rot_anchors,
-                        compact_rotated=engine.compact_rotated,
-                        tex_bf16=True)
+    eng_b = ReconEngine(netG, netC, recon=engine.recon,
+                config=EngineCfg.flat(mode="ray", fine_res=257,
+                                      ray_taps=engine.ray_taps,
+                                      ray_window=engine.ray_window,
+                                      compute_dtype=jnp.bfloat16,
+                                      use_pallas=True,
+                                      march_levels=engine.march_levels,
+                                      march_rotated=True,
+                                      rot_anchors=engine.rot_anchors,
+                                      compact_rotated=engine.compact_rotated,
+                                      tex_bf16=True))
 
     def run(eng, label):
         plan = eng._rot_anchor_plan(rot, 512)

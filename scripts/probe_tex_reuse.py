@@ -36,7 +36,7 @@ import bench  # noqa: E402
 
 
 def main():
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.render.camera import orbit_extrinsic
     from monoport_tpu.training.datasets.capsule import (render_front,
@@ -54,15 +54,17 @@ def main():
     print(json.dumps(out), flush=True)
 
     def mk(reuse):
-        return ReconEngine(netG, netC, recon=engine.recon, mode="ray",
-                           fine_res=257, ray_taps=engine.ray_taps,
-                           ray_window=engine.ray_window,
-                           compute_dtype=jnp.bfloat16, use_pallas=True,
-                           march_levels=engine.march_levels,
-                           march_rotated=True,
-                           rot_anchors=engine.rot_anchors,
-                           compact_rotated=engine.compact_rotated,
-                           tex_reuse_compact=reuse)
+        return ReconEngine(netG, netC, recon=engine.recon,
+                   config=EngineCfg.flat(mode="ray", fine_res=257,
+                                         ray_taps=engine.ray_taps,
+                                         ray_window=engine.ray_window,
+                                         compute_dtype=jnp.bfloat16,
+                                         use_pallas=True,
+                                         march_levels=engine.march_levels,
+                                         march_rotated=True,
+                                         rot_anchors=engine.rot_anchors,
+                                         compact_rotated=engine.compact_rotated,
+                                         tex_reuse_compact=reuse))
 
     eng_re, eng_in = mk(True), mk(False)
 

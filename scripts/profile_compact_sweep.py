@@ -71,16 +71,16 @@ def main():
     def fresh_engine(budget):
         # nets/params are reusable; only the ReconEngine (whose jit cache
         # keys on the instance) must be rebuilt per budget
-        from monoport_tpu.engine import ReconEngine
-        return ReconEngine(netG, netC, recon=engine.recon, mode="ray",
-                           fine_res=engine.fine_res,
-                           ray_taps=engine.ray_taps,
-                           ray_window=engine.ray_window,
-                           compute_dtype=engine.compute_dtype,
-                           use_pallas=engine.use_pallas,
-                           march_levels=engine.march_levels,
-                           march_rotated=engine.march_rotated,
-                           compact_rotated=budget)
+        from monoport_tpu.engine import EngineCfg, ReconEngine
+        return ReconEngine(netG, netC, recon=engine.recon,
+                   config=EngineCfg.flat(mode="ray", fine_res=engine.fine_res,
+                                         ray_taps=engine.ray_taps,
+                                         ray_window=engine.ray_window,
+                                         compute_dtype=engine.compute_dtype,
+                                         use_pallas=engine.use_pallas,
+                                         march_levels=engine.march_levels,
+                                         march_rotated=engine.march_rotated,
+                                         compact_rotated=budget))
 
     for budget in (0.625, 0.5625, 0.5):
         eng = fresh_engine(budget)

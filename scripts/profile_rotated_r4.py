@@ -51,7 +51,7 @@ def measure(engine, netC, params_g, params_c, image, calib, use_taps,
 
 
 def main():
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.render.camera import orbit_extrinsic
     from monoport_tpu.training.datasets.capsule import (render_front,
@@ -64,15 +64,16 @@ def main():
     netG, params_g, netC, params_c, engine = real
 
     def fresh(compact):
-        return ReconEngine(netG, netC, recon=engine.recon, mode="ray",
-                           fine_res=engine.fine_res,
-                           ray_taps=engine.ray_taps,
-                           ray_window=engine.ray_window,
-                           compute_dtype=engine.compute_dtype,
-                           use_pallas=engine.use_pallas,
-                           march_levels=engine.march_levels,
-                           march_rotated=engine.march_rotated,
-                           compact_rotated=compact, rot_anchors="auto")
+        return ReconEngine(netG, netC, recon=engine.recon,
+                   config=EngineCfg.flat(mode="ray", fine_res=engine.fine_res,
+                                         ray_taps=engine.ray_taps,
+                                         ray_window=engine.ray_window,
+                                         compute_dtype=engine.compute_dtype,
+                                         use_pallas=engine.use_pallas,
+                                         march_levels=engine.march_levels,
+                                         march_rotated=engine.march_rotated,
+                                         compact_rotated=compact,
+                                         rot_anchors="auto"))
 
     caps = skeleton3d(jax.random.PRNGKey(31337))
     image = render_front(caps, 512)[0][None]

@@ -31,7 +31,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from monoport_tpu import get_cfg_defaults  # noqa: E402
-from monoport_tpu.engine import ReconEngine  # noqa: E402
+from monoport_tpu.engine import EngineCfg, ReconEngine  # noqa: E402
 from monoport_tpu.models import MonoPortNet  # noqa: E402
 from monoport_tpu.recon.calib import pifu_calib  # noqa: E402
 from monoport_tpu.recon.hierarchy import HierarchicalRecon  # noqa: E402
@@ -64,10 +64,12 @@ def main():
                               budgets=(0, 4096, 16384), select="uncertain")
     # production shapes/dtypes, XLA heads (identical arithmetic to the
     # Pallas kernels; pallas_call does not lower on CPU)
-    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=6, ray_window=192,
-                         compute_dtype=jnp.bfloat16, use_pallas=False,
-                         march_levels=(33, 65), rot_anchors="auto")
+    engine = ReconEngine(netG, netC, recon=recon,
+                 config=EngineCfg.flat(mode="ray", fine_res=257, ray_taps=6,
+                                       ray_window=192,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=False, march_levels=(33, 65),
+                                       rot_anchors="auto"))
     image = jnp.zeros((1, 512, 512, 3), jnp.float32)
     front = jnp.eye(4, dtype=jnp.float32)[None]
     rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),

@@ -208,7 +208,7 @@ def test_engine_rotated_anchored_close_to_per_point():
     """Engine-level: a rotated-calib frame with the anchored refine tracks
     the exact per-point refine on a smooth random model."""
     from tests.test_engine import _nets
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, _ = _nets()
@@ -218,10 +218,12 @@ def test_engine_rotated_anchored_close_to_per_point():
     params_g = netG.init(jax.random.PRNGKey(0), image, pts, ROT_CALIB)
 
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
+    kw = dict(render_size=64, mode="ray", fine_res=33,
               ray_taps=5, march_levels=(9, 17), compact_rotated=0.75)
-    eng_pp = ReconEngine(netG, rot_anchors=None, **kw)
-    eng_an = ReconEngine(netG, rot_anchors=2, **kw)
+    eng_pp = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(rot_anchors=None, **kw))
+    eng_an = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(rot_anchors=2, **kw))
     out_pp = eng_pp.frame(params_g, image, calib=ROT_CALIB)
     out_an = eng_an.frame(params_g, image, calib=ROT_CALIB)
     v_pp = np.asarray(out_pp["valid"])
@@ -242,7 +244,7 @@ def test_frames_mixed_calib_groups_match_per_frame():
     each frame's own fast path and reassembles outputs in clip order —
     every frame equals its individual frame() call (VERDICT r3 item 4)."""
     from tests.test_engine import _nets
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, _ = _nets()
@@ -255,9 +257,10 @@ def test_frames_mixed_calib_groups_match_per_frame():
                          calibs[:1])
 
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, recon=recon, render_size=32, mode="ray",
-                      fine_res=33, ray_taps=4, march_levels=(9, 17),
-                      compact_rotated=0.75)
+    eng = ReconEngine(netG, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, march_levels=(9, 17),
+                                    compact_rotated=0.75))
     outs = eng.frames(params_g, images, calibs=calibs)
     assert outs["depth"].shape == (3, 33, 33)
     for i in range(3):
@@ -329,7 +332,7 @@ def test_engine_perspective_rides_anchored_march():
     plan, and its anchored march frame tracks the exact per-point frame —
     perspective is a first-class fast-path citizen now, not a hierarchy
     fallback (reference geometry.py:37-55)."""
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG = _persp_net()
@@ -339,10 +342,12 @@ def test_engine_perspective_rides_anchored_march():
     params_g = netG.init(jax.random.PRNGKey(0), image, pts, PERSP_CALIB)
 
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
+    kw = dict(render_size=64, mode="ray", fine_res=33,
               ray_taps=5, march_levels=(9, 17), compact_rotated=0.75)
-    eng_pp = ReconEngine(netG, rot_anchors=None, **kw)
-    eng_an = ReconEngine(netG, rot_anchors=2, **kw)
+    eng_pp = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(rot_anchors=None, **kw))
+    eng_an = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(rot_anchors=2, **kw))
     assert not eng_an._calib_taps_ok(PERSP_CALIB)
     assert not eng_an._calib_taps_ok(jnp.eye(4, dtype=jnp.float32)[None])
     plan = eng_an._rot_anchor_plan(PERSP_CALIB, 64)

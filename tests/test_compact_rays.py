@@ -85,7 +85,7 @@ def test_engine_compact_frontal_untouched():
     bit-identical output with and without the flag."""
     from tests.test_engine import _nets
 
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, netC = _nets()
@@ -97,10 +97,12 @@ def test_engine_compact_frontal_untouched():
     params_c = netC.init(jax.random.PRNGKey(1), image, pts, calib,
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+    kw = dict(render_size=32, mode="ray", fine_res=33,
               ray_taps=4, march_levels=(9, 17), ray_window=24)
-    dense = ReconEngine(netG, netC, compact_rotated=None, **kw)
-    comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
+    dense = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=None, **kw))
+    comp = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.625, **kw))
     out_f_d = dense.frame(params_g, image, params_c, image, calib=calib)
     out_f_c = comp.frame(params_g, image, params_c, image, calib=calib)
     np.testing.assert_array_equal(np.asarray(out_f_d["depth"]),
@@ -120,7 +122,7 @@ def test_engine_compact_rotated_frame_trained():
     import pytest
 
     from monoport_tpu.config import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
@@ -147,10 +149,12 @@ def test_engine_compact_rotated_frame_trained():
                                  np.eye(4, dtype=np.float32)))
     recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
                               select="uncertain")
-    kw = dict(recon=recon, mode="ray", fine_res=65, ray_taps=6,
+    kw = dict(mode="ray", fine_res=65, ray_taps=6,
               ray_window=48, march_levels=(17, 33))
-    dense = ReconEngine(netG, netC, compact_rotated=None, **kw)
-    comp = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
+    dense = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=None, **kw))
+    comp = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.625, **kw))
     out_d = dense.frame(params_g, image, params_c, image, calib=rot)
     out_c = comp.frame(params_g, image, params_c, image, calib=rot)
 
@@ -173,7 +177,7 @@ def test_compact_dropped_telemetry_fires_exactly_on_overflow():
     item 6: overflow must be observable, not a green log)."""
     from tests.test_engine import _nets
 
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, netC = _nets()
@@ -188,16 +192,18 @@ def test_compact_dropped_telemetry_fires_exactly_on_overflow():
     params_c = netC.init(jax.random.PRNGKey(1), image, pts, rot,
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+    kw = dict(render_size=32, mode="ray", fine_res=33,
               ray_taps=4, march_levels=(9, 17), ray_window=24,
               rot_anchors=None)
 
-    ample = ReconEngine(netG, netC, compact_rotated=1.0, **kw)
+    ample = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=1.0, **kw))
     out_a = ample.frame(params_g, image, params_c, image, calib=rot)
     assert "compact_dropped" not in out_a     # 1.0 -> dense, no budgets
     assert "no ray compaction" in ample.compact_report(out_a)
 
-    roomy = ReconEngine(netG, netC, compact_rotated=0.99, **kw)
+    roomy = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.99, **kw))
     out_r = roomy.frame(params_g, image, params_c, image, calib=rot)
     # capped at h*w: every valid ray fits, nothing dropped
     dropped = np.asarray(out_r["compact_dropped"])
@@ -205,7 +211,8 @@ def test_compact_dropped_telemetry_fires_exactly_on_overflow():
     assert (dropped == 0).all(), dropped
     assert "ok" in roomy.compact_report(out_r)
 
-    tiny = ReconEngine(netG, netC, compact_rotated=0.05, **kw)
+    tiny = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.05, **kw))
     out_t = tiny.frame(params_g, image, params_c, image, calib=rot)
     dropped_t = np.asarray(out_t["compact_dropped"])
     # exact count: valid rays at each level beyond the 256-ray budget
@@ -251,7 +258,7 @@ def test_adaptive_hint_selects_the_rung_program():
     ignore the hint entirely."""
     from tests.test_engine import _nets
 
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, netC = _nets()
@@ -266,11 +273,13 @@ def test_adaptive_hint_selects_the_rung_program():
     params_c = netC.init(jax.random.PRNGKey(1), image, pts, rot,
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+    kw = dict(render_size=32, mode="ray", fine_res=33,
               ray_taps=4, march_levels=(9, 17), ray_window=24,
               rot_anchors=None)
-    ceiling = ReconEngine(netG, netC, compact_rotated=0.625, **kw)
-    explicit = ReconEngine(netG, netC, compact_rotated=0.25, **kw)
+    ceiling = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.625, **kw))
+    explicit = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(compact_rotated=0.25, **kw))
     hinted = ceiling.frame(params_g, image, params_c, image, calib=rot,
                            compact_hint=0.1)     # snaps to the 0.25 rung
     want = explicit.frame(params_g, image, params_c, image, calib=rot)
@@ -289,21 +298,21 @@ def test_adaptive_hint_selects_the_rung_program():
 def test_compact_hint_from_valid_math():
     from tests.test_engine import _nets
 
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, _ = _nets()
-    eng = ReconEngine(netG, recon=HierarchicalRecon(resolutions=(9, 17),
-                                                    budgets=(0, 2048)),
-                      mode="ray", fine_res=257, ray_window=192)
+    eng = ReconEngine(netG,
+              recon=HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048)),
+              config=EngineCfg.flat(mode="ray", fine_res=257, ray_window=192))
     # valid fraction over the 257^2 lattice rescaled to the 192^2 window
     # (every valid pixel lies inside the subject-bbox window) + 1.3x
     hint = eng.compact_hint_from_valid(0.136)
     assert abs(hint - 0.136 * (257.0 / 192.0) ** 2 * 1.3) < 1e-9
     # no window -> the window IS the lattice
-    eng2 = ReconEngine(netG, recon=HierarchicalRecon(resolutions=(9, 17),
-                                                     budgets=(0, 2048)),
-                       mode="ray", fine_res=257, ray_window=None)
+    eng2 = ReconEngine(netG,
+               recon=HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048)),
+               config=EngineCfg.flat(mode="ray", fine_res=257, ray_window=None))
     assert abs(eng2.compact_hint_from_valid(0.2) - 0.26) < 1e-9
 
 
@@ -320,7 +329,7 @@ def test_texture_reuses_refine_compaction():
     import pytest
 
     from monoport_tpu.config import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.calib import pifu_calib
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
@@ -348,10 +357,12 @@ def test_texture_reuses_refine_compaction():
                                  np.eye(4, dtype=np.float32)))
     recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
                               select="uncertain")
-    kw = dict(recon=recon, mode="ray", fine_res=65, ray_taps=6,
+    kw = dict(mode="ray", fine_res=65, ray_taps=6,
               ray_window=48, march_levels=(17, 33), compact_rotated=0.625)
-    reuse = ReconEngine(netG, netC, tex_reuse_compact=True, **kw)
-    indep = ReconEngine(netG, netC, tex_reuse_compact=False, **kw)
+    reuse = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(tex_reuse_compact=True, **kw))
+    indep = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(tex_reuse_compact=False, **kw))
     out_r = reuse.frame(params_g, image, params_c, image, calib=rot)
     out_i = indep.frame(params_g, image, params_c, image, calib=rot)
 
@@ -372,7 +383,7 @@ def test_texture_reuse_frontal_untouched():
     frontal grid texture is byte-identical with the flag on or off."""
     from tests.test_engine import _nets
 
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
     netG, netC = _nets()
@@ -384,11 +395,13 @@ def test_texture_reuse_frontal_untouched():
     params_c = netC.init(jax.random.PRNGKey(1), image, pts, eye,
                          feat_prior=jnp.zeros((1, 128, 128, 256)))
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    kw = dict(recon=recon, render_size=32, mode="ray", fine_res=33,
+    kw = dict(render_size=32, mode="ray", fine_res=33,
               ray_taps=4, march_levels=(9, 17), ray_window=24,
               rot_anchors=None, compact_rotated=0.625)
-    on = ReconEngine(netG, netC, tex_reuse_compact=True, **kw)
-    off = ReconEngine(netG, netC, tex_reuse_compact=False, **kw)
+    on = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(tex_reuse_compact=True, **kw))
+    off = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(tex_reuse_compact=False, **kw))
     o_on = on.frame(params_g, image, params_c, image, calib=eye)
     o_off = off.frame(params_g, image, params_c, image, calib=eye)
     np.testing.assert_array_equal(np.asarray(o_on["render_tex"]),

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from monoport_tpu.config import CN
-from monoport_tpu.engine import ReconEngine
+from monoport_tpu.engine import EngineCfg, ReconEngine
 from monoport_tpu.models import MonoPortNet
 from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
@@ -47,14 +47,15 @@ def setup():
 def test_engine_dense_and_ray_modes(setup):
     netG, netC, params_g, params_c, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    dense = ReconEngine(netG, netC, recon=recon, render_size=64)
+    dense = ReconEngine(netG, netC, recon=recon, config=EngineCfg.flat(render_size=64))
     out = dense.frame(params_g, image, params_c, image, calib)
     assert out["sdf"].shape == (17, 17, 17)
     assert out["render_norm"].shape == (64, 64, 3)
     assert out["render_tex"].shape == (64, 64, 3)
 
-    ray = ReconEngine(netG, netC, recon=recon, render_size=64,
-                      mode="ray", fine_res=33, ray_taps=4)
+    ray = ReconEngine(netG, netC, recon=recon,
+              config=EngineCfg.flat(render_size=64, mode="ray", fine_res=33,
+                                    ray_taps=4))
     out_r = ray.frame(params_g, image, params_c, image, calib)
     assert out_r["depth"].shape == (33, 33)
     assert out_r["render_norm"].shape == (64, 64, 3)
@@ -71,8 +72,9 @@ def test_engine_ray_query_gated_on_calib(setup):
 
     netG, netC, params_g, params_c, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, None, recon=recon, render_size=32,
-                      mode="ray", fine_res=33, ray_taps=4)
+    eng = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4))
     assert eng._calib_taps_ok(calib)  # identity: fast path allowed
 
     rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 15.0),
@@ -81,9 +83,9 @@ def test_engine_ray_query_gated_on_calib(setup):
     assert not eng._calib_taps_ok(rot)
 
     out = eng.frame(params_g, image, calib=rot)
-    ref = ReconEngine(netG, None, recon=recon, render_size=32,
-                      mode="ray", fine_res=33, ray_taps=4,
-                      use_ray_query=False)
+    ref = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, use_ray_query=False))
     want = ref.frame(params_g, image, calib=rot)
     np.testing.assert_array_equal(np.asarray(out["depth"]),
                                   np.asarray(want["depth"]))
@@ -92,9 +94,10 @@ def test_engine_ray_query_gated_on_calib(setup):
 def test_engine_pallas_head_equivalence(setup):
     netG, _, params_g, _, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    base = ReconEngine(netG, None, recon=recon, render_size=32)
-    fast = ReconEngine(netG, None, recon=recon, render_size=32,
-                       use_pallas=True, pallas_interpret=True)
+    base = ReconEngine(netG, None, recon=recon, config=EngineCfg.flat(render_size=32))
+    fast = ReconEngine(netG, None, recon=recon,
+               config=EngineCfg.flat(render_size=32, use_pallas=True,
+                                     pallas_interpret=True))
     out_a = base.frame(params_g, image, calib=calib)
     out_b = fast.frame(params_g, image, calib=calib)
     np.testing.assert_allclose(np.asarray(out_a["sdf"]),
@@ -111,8 +114,9 @@ def test_engine_march_mode(setup):
 
     netG, netC, params_g, params_c, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, netC, recon=recon, render_size=32, mode="ray",
-                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    eng = ReconEngine(netG, netC, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, march_levels=(9, 17)))
     out = eng.frame(params_g, image, params_c, image, calib)
     assert "sdf" not in out and "recon_counts" not in out
     assert out["depth"].shape == (33, 33)
@@ -125,9 +129,10 @@ def test_engine_march_mode(setup):
     assert "sdf" not in out_rot  # rotated frames march too (per-point)
     assert out_rot["depth"].shape == (33, 33)
 
-    legacy = ReconEngine(netG, netC, recon=recon, render_size=32,
-                         mode="ray", fine_res=33, ray_taps=4,
-                         march_levels=(9, 17), march_rotated=False)
+    legacy = ReconEngine(netG, netC, recon=recon,
+                 config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                       ray_taps=4, march_levels=(9, 17),
+                                       march_rotated=False))
     out_leg = legacy.frame(params_g, image, calib=rot)
     assert "sdf" in out_leg  # hierarchy fallback ran
 
@@ -147,15 +152,17 @@ def test_engine_per_point_march_matches_taps_march(setup):
     surface as the structured one."""
     netG, _, params_g, _, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
-                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    eng = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, march_levels=(9, 17)))
     # compact_rotated=None: this test isolates the per-point MARCH (vs the
     # taps route); compaction is covered by tests/test_compact_rays.py and
     # would add knife-edge scatter on this random-init ~0.5 field
-    plain = ReconEngine(netG, None, recon=recon, render_size=32,
-                        mode="ray", fine_res=33, ray_taps=4,
-                        march_levels=(9, 17), use_ray_query=False,
-                        march_rotated=True, compact_rotated=None)
+    plain = ReconEngine(netG, None, recon=recon,
+                config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                      ray_taps=4, march_levels=(9, 17),
+                                      use_ray_query=False, march_rotated=True,
+                                      compact_rotated=None))
     out_a = eng.frame(params_g, image, calib=calib)     # taps route
     out_b = plain.frame(params_g, image, calib=calib)   # per-point route
     assert "sdf" not in out_a and "sdf" not in out_b    # both marched
@@ -194,9 +201,10 @@ def test_engine_march_gate_keeps_hierarchy_for_ineligible_nets():
     calib = jnp.eye(4, dtype=jnp.float32)[None]
     params_g = netG.init(jax.random.PRNGKey(0), image, pts, calib)
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, None, recon=recon, render_size=32, mode="ray",
-                      fine_res=33, ray_taps=4, march_levels=(9, 17),
-                      march_rotated=False)
+    eng = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, march_levels=(9, 17),
+                                    march_rotated=False))
     out = eng.frame(params_g, image, calib=calib)
     assert "sdf" in out  # hierarchy ran: qt is None for soft-onehot
 
@@ -204,7 +212,7 @@ def test_engine_march_gate_keeps_hierarchy_for_ineligible_nets():
 def test_engine_batched_frames(setup):
     netG, netC, params_g, params_c, image, calib = setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, None, recon=recon, render_size=32)
+    eng = ReconEngine(netG, None, recon=recon, config=EngineCfg.flat(render_size=32))
     images = jnp.tile(image[0][None], (3, 1, 1, 1))  # [3, 64, 64, 3]
     out = eng.frames(params_g, images)
     assert out["render_norm"].shape == (3, 32, 32, 3)

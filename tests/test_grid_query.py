@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from monoport_tpu.config import CN
-from monoport_tpu.engine import ReconEngine
+from monoport_tpu.engine import EngineCfg, ReconEngine
 from monoport_tpu.models import MonoPortNet
 from monoport_tpu.ops.sampling import index, index_grid
 from monoport_tpu.recon.hierarchy import HierarchicalRecon
@@ -94,8 +94,9 @@ def test_engine_grid_path_equivalence(engine_setup):
     """use_grid on vs off: same frame outputs (march pyramid + texture)."""
     netG, netC, params_g, params_c, image, calib = engine_setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, netC, recon=recon, render_size=32, mode="ray",
-                      fine_res=33, ray_taps=4, march_levels=(9, 17))
+    eng = ReconEngine(netG, netC, recon=recon,
+              config=EngineCfg.flat(render_size=32, mode="ray", fine_res=33,
+                                    ray_taps=4, march_levels=(9, 17)))
     assert eng._calib_grid_ok(calib)
     out_grid = eng._frame(params_g, params_c, image, image, calib,
                           use_taps=True, use_grid=True)
@@ -153,9 +154,10 @@ def test_texture_window_exact_and_strided(engine_setup):
                            valid=jnp.asarray(valid))
 
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    full = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=r)
-    win = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=r,
-                      ray_window=48)
+    full = ReconEngine(netG, None, recon=recon,
+               config=EngineCfg.flat(mode="ray", fine_res=r))
+    win = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(mode="ray", fine_res=r, ray_window=48))
 
     for kwargs in ({"color_grid": _analytic_color},
                    {"query_color": _analytic_color_points}):
@@ -187,7 +189,8 @@ def test_texture_window_exact_and_strided(engine_setup):
 def test_grid_gate_rejects_rotated_image_rows(engine_setup):
     netG, netC, params_g, params_c, image, calib = engine_setup
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
-    eng = ReconEngine(netG, None, recon=recon, mode="ray", fine_res=33)
+    eng = ReconEngine(netG, None, recon=recon,
+              config=EngineCfg.flat(mode="ray", fine_res=33))
     rot = np.eye(4, dtype=np.float32)
     rot[0, 1] = 0.3  # in-plane rotation term: grid invalid, taps still ok
     rot = jnp.asarray(rot)[None]

@@ -103,6 +103,7 @@ def test_query_taps_matches_query():
 def test_engine_ray_query_equivalent():
     """Engine frame with use_ray_query on/off: identical surface maps."""
     from tests.test_engine import _nets
+    from monoport_tpu.engine import EngineCfg
     from monoport_tpu.engine import ReconEngine
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
@@ -116,10 +117,12 @@ def test_engine_ray_query_equivalent():
     recon = HierarchicalRecon(resolutions=(9, 17), budgets=(0, 2048))
     kw = dict(recon=recon, render_size=64, mode="ray", fine_res=33,
               ray_taps=5)
-    eng_a = ReconEngine(netG, recon=recon, render_size=64, mode="ray",
-                        fine_res=33, ray_taps=5, use_ray_query=False)
-    eng_b = ReconEngine(netG, recon=recon, render_size=64, mode="ray",
-                        fine_res=33, ray_taps=5, use_ray_query=True)
+    eng_a = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(render_size=64, mode="ray", fine_res=33,
+                                      ray_taps=5, use_ray_query=False))
+    eng_b = ReconEngine(netG, recon=recon,
+                config=EngineCfg.flat(render_size=64, mode="ray", fine_res=33,
+                                      ray_taps=5, use_ray_query=True))
     out_a = eng_a.frame(params_g, image, calib=calib)
     out_b = eng_b.frame(params_g, image, calib=calib)
     np.testing.assert_allclose(np.asarray(out_b["depth"]),

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from monoport_tpu.config import get_cfg_defaults
-from monoport_tpu.engine import ReconEngine
+from monoport_tpu.engine import EngineCfg, ReconEngine
 from monoport_tpu.models import MonoPortNet
 from monoport_tpu.recon.hierarchy import HierarchicalRecon
 from monoport_tpu.training.datasets.capsule import (capsule_occupancy,
@@ -45,8 +45,9 @@ def test_trained_engine_reconstructs(nets):
     # at the production profile is covered by bench.py's real section
     recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
                               select="uncertain")
-    eng = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=129,
-                      ray_taps=6, ray_window=96)
+    eng = ReconEngine(netG, netC, recon=recon,
+              config=EngineCfg.flat(mode="ray", fine_res=129, ray_taps=6,
+                                    ray_window=96))
     out = eng.frame(params_g, image[None], params_c, image[None])
 
     # silhouette vs the analytic ground truth at the fine ray grid
@@ -121,8 +122,9 @@ def test_trained_crossfam_generalization(nets):
     netG, params_g, _, _ = nets
     recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
                               select="uncertain")
-    eng = ReconEngine(netG, recon=recon, mode="ray", fine_res=129,
-                      ray_taps=6, ray_window=96)
+    eng = ReconEngine(netG, recon=recon,
+              config=EngineCfg.flat(mode="ray", fine_res=129, ray_taps=6,
+                                    ray_window=96))
     calib = jnp.eye(4, dtype=jnp.float32)[None]
 
     def iou(image, occ_fn):
