@@ -164,7 +164,7 @@ def marginal_frame_rate(frame_fn, params_g, params_c, image, iters):
 
 def build_frame():
     from monoport_tpu import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
 
@@ -195,11 +195,14 @@ def build_frame():
         select="uncertain")  # overflow degrades gracefully, never truncates
     # fine rays restricted to a 192^2 bbox window (75% of the frame —
     # matches the reference's own detection-region prior, RTL/main.py:290)
-    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
-                         compute_dtype=jnp.bfloat16, use_pallas=True,
-                         use_ray_query=_RAY_QUERY,
-                         march_levels=_MARCH_LEVELS if _MARCH else None)
+    engine = ReconEngine(netG, netC, recon=recon,
+                 config=EngineCfg.flat(mode="ray", fine_res=257,
+                                       ray_taps=_RAY_TAPS,
+                                       ray_window=_RAY_WINDOW,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=True,
+                                       use_ray_query=_RAY_QUERY,
+                                       march_levels=_MARCH_LEVELS if _MARCH else None))
     if _BF16_FEATS:
         engine._feats_f32 = lambda feats: feats
 
@@ -301,7 +304,7 @@ def _build_real():
     if not os.path.exists(ckpt):
         return None
     from monoport_tpu import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
     from monoport_tpu.utils.params_io import load_params
@@ -317,12 +320,15 @@ def _build_real():
     recon = HierarchicalRecon(resolutions=(17, 33, 65),
                               budgets=(0, 4096, 16384),
                               select="uncertain")
-    engine = ReconEngine(netG, netC, recon=recon, mode="ray", fine_res=257,
-                         ray_taps=_RAY_TAPS, ray_window=_RAY_WINDOW,
-                         compute_dtype=jnp.bfloat16, use_pallas=True,
-                         march_levels=_MARCH_LEVELS if _MARCH else None,
-                         march_rotated=_MARCH_ROTATED,
-                         rot_anchors=_ROT_ANCHORS)
+    engine = ReconEngine(netG, netC, recon=recon,
+                 config=EngineCfg.flat(mode="ray", fine_res=257,
+                                       ray_taps=_RAY_TAPS,
+                                       ray_window=_RAY_WINDOW,
+                                       compute_dtype=jnp.bfloat16,
+                                       use_pallas=True,
+                                       march_levels=_MARCH_LEVELS if _MARCH else None,
+                                       march_rotated=_MARCH_ROTATED,
+                                       rot_anchors=_ROT_ANCHORS))
     return netG, params_g, netC, params_c, engine
 
 
@@ -427,14 +433,21 @@ def bench_frames_sweep(real, single_fps: float, clips=(8, 16, 32)):
 
 
 def bench_crossfam(real):
-    """Cross-family generalization (VERDICT r3 item 3): silhouette IOU of
-    the committed weights on bodies the capsule training family cannot
-    emit — superquadric limbs (shaded + flat renders) and the PPL-fixture
-    ellipsoid — at the production 257-ray profile. GT is the analytic
-    occupancy's z-swept silhouette; full sweep over seeds/profiles in
-    scripts/eval_crossfam.py."""
+    """Cross-family generalization (VERDICT r3 item 3, r4 item 4):
+    silhouette IOU — and, with the trained netC present, texture PSNR —
+    of the committed weights on bodies the capsule training family cannot
+    emit: superquadric limbs (shaded + flat renders) and the PPL-fixture
+    ellipsoid, at the production 257-ray profile. Geometry GT is the
+    analytic occupancy's z-swept silhouette; texture GT is the shared
+    render_front_occ shading model evaluated at the RECONSTRUCTED surface
+    (capsule.gt_texture_canvas — valid for superquadrics because both
+    families render through the same model). Full sweep over seeds and
+    profiles in scripts/eval_crossfam.py."""
+    from monoport_tpu.recon.depth_peel import visualize
     from monoport_tpu.training.datasets import superquadric as sq
+    from monoport_tpu.training.datasets.capsule import gt_texture_canvas
     from monoport_tpu.training.datasets.fixture import RADII
+    from monoport_tpu.training.metrics import masked_psnr
 
     netG, params_g, netC, params_c, engine = real
     calib = jnp.eye(4, dtype=jnp.float32)[None]
@@ -447,27 +460,43 @@ def bench_crossfam(real):
             jnp.stack([gx, gy, jnp.full_like(gx, z)], -1)) > 0.5)(zs)
         return np.asarray(occ.any(axis=0))
 
-    def iou(image, occ_fn):
-        maps = engine.frame(params_g, image[None], calib=calib)
+    def iou_tex(image, occ_fn, flat=False):
+        maps = engine.frame(params_g, image[None], params_c,
+                            image[None] if params_c is not None else None,
+                            calib=calib)
         got = np.asarray(maps["valid"]) > 0.5
         gt = gt_sil(occ_fn)
-        return round(float((got & gt).sum() / max((got | gt).sum(), 1)), 4)
+        iou = round(float((got & gt).sum() / max((got | gt).sum(), 1)), 4)
+        psnr = None
+        if netC is not None and "render_tex" in maps:
+            gt_canvas = gt_texture_canvas(jnp.asarray(maps["depth"]),
+                                          jnp.asarray(maps["valid"]),
+                                          engine.fine_res, flat=flat)
+            gt_vis, _ = visualize(gt_canvas, engine.render_size)
+            m = np.asarray(maps["mask"])
+            m = (m[..., 0] if m.ndim == 3 else m) > 0.5
+            psnr, _ = masked_psnr(np.asarray(maps["render_tex"]),
+                                  np.asarray(gt_vis), m)
+            psnr = round(psnr, 2)
+        return iou, psnr
 
     body = sq.sq_body(jax.random.PRNGKey(31337))
     occ = lambda pts: sq.sq_occupancy(pts, body)  # noqa: E731
-    out = {"crossfam_iou_sq": iou(sq.render_front(body, 512)[0], occ),
-           "crossfam_iou_sq_flat": iou(
-               sq.render_front(body, 512, flat=True)[0], occ)}
+    out = {}
+    out["crossfam_iou_sq"], out["crossfam_tex_psnr_sq"] = iou_tex(
+        sq.render_front(body, 512)[0], occ)
+    out["crossfam_iou_sq_flat"], out["crossfam_tex_psnr_sq_flat"] = iou_tex(
+        sq.render_front(body, 512, flat=True)[0], occ, flat=True)
     from monoport_tpu.training.datasets.fixture import _render_rgba
     rgba = np.asarray(_render_rgba(0, 512), dtype=np.float32) / 255.0
     ell_img = jnp.asarray((rgba[..., :3] * 2.0 - 1.0)
                           * (rgba[..., 3:4] > 0.5))
     radii = jnp.asarray(RADII)
-    out["crossfam_iou_ellipsoid"] = iou(
+    out["crossfam_iou_ellipsoid"], _ = iou_tex(
         ell_img,
         lambda pts: (jnp.square(pts / radii).sum(-1) <= 1.0
                      ).astype(jnp.float32))
-    return out
+    return {k: v for k, v in out.items() if v is not None}
 
 
 def bench_rotated(real, iters: int = 40):
@@ -570,18 +599,14 @@ def bench_mfu(real, result: dict):
     cancel out). Arithmetic intensity (FLOP/byte) against the ~240 FLOP/B
     v5e ridge says whether a program is compute- or HBM-bound; the
     per-stage split lives in scripts/roofline_stages.py + DESIGN.md."""
+    import dataclasses
+
     from monoport_tpu.engine import ReconEngine
 
     netG, params_g, netC, params_c, engine = real
-    twin = ReconEngine(netG, netC, recon=engine.recon, mode="ray",
-                       fine_res=engine.fine_res, ray_taps=engine.ray_taps,
-                       ray_window=engine.ray_window,
-                       compute_dtype=engine.compute_dtype,
-                       use_pallas=False, use_ray_query=engine.use_ray_query,
-                       march_levels=engine.march_levels,
-                       march_rotated=engine.march_rotated,
-                       compact_rotated=engine.compact_rotated,
-                       rot_anchors=engine.rot_anchors)
+    twin = ReconEngine(netG, netC, recon=engine.recon,
+                       config=dataclasses.replace(engine.config,
+                                                  use_pallas=False))
     image = jnp.zeros((1, 512, 512, 3), jnp.float32)
     front = jnp.eye(4, dtype=jnp.float32)[None]
     out = {}

@@ -242,19 +242,34 @@ def sample_points(key, caps, n: int, sigma: float = 0.05):
     return pts, labels[:, None]
 
 
-def gt_texture_canvas(depth, valid, resolution: int, base_color=None):
+def gt_texture_canvas(depth, valid, resolution: int, base_color=None,
+                      appearance=None, flat: bool = False):
     """Ground-truth texture canvas for an engine ray-map pair: GT surface
     colors (the shading model render_front painted) evaluated at the
     reconstructed surface points, white background — directly comparable
     to the engine's tex canvas/render_tex. Voxel->world mapping matches
-    depth_peel.surface_world_points (RTL/main.py:204-210)."""
+    depth_peel.surface_world_points (RTL/main.py:204-210).
+
+    ``flat``: the render was shading-free (render_front_occ flat=True), so
+    the GT surface color drops the depth cue too — base * pattern only.
+    Shared by every family that renders through render_front_occ (capsule
+    AND superquadric), which is what makes the cross-family texture PSNR
+    well-defined."""
     r = resolution
     sr = 2.0 / r
     a = jnp.arange(r, dtype=jnp.float32) * sr - 1.0
     pts = jnp.stack([jnp.broadcast_to(a[:, None], (r, r)),
                      jnp.broadcast_to(a[None, :], (r, r)),
                      (float(r) - depth) * sr - 1.0], -1)
-    gt = surface_color(pts, base_color) * 0.5 + 0.5
+    if flat:
+        base = jnp.asarray(base_color if base_color is not None
+                           else (appearance["base"] if appearance is not None
+                                 else _DEFAULT_BASE))
+        pat = _pattern(pts[..., :2], appearance)
+        gt = jnp.clip(base * pat, 0.0, 1.0)
+        gt = jnp.broadcast_to(gt, pts.shape[:-1] + (3,))
+    else:
+        gt = surface_color(pts, base_color, appearance) * 0.5 + 0.5
     return jnp.where(valid[..., None], gt, 1.0)
 
 

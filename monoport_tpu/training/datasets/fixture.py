@@ -101,14 +101,57 @@ def _render_rgba_multi(parts: list, rotation: float, size: int = SIZE,
                      fill=(*color, 255))
     if textured:
         arr = np.asarray(img).astype(np.float32)
-        trng = np.random.RandomState(tex_seed)
-        fx, fy = trng.uniform(3, 12, 2)
-        px, py = trng.uniform(0, 2 * np.pi, 2)
-        yy, xx = np.mgrid[0:size, 0:size] / size * 2 - 1
-        pat = 1.0 + 0.35 * np.sin(xx * fx + px) * np.sin(yy * fy + py)
+        yy = np.mgrid[0:size, 0:size][0] / size * 2 - 1
+        pat = _texture_pattern(yy, tex_seed)
         arr[..., :3] = np.clip(arr[..., :3] * pat[..., None], 0, 255)
         img = Image.fromarray(arr.astype(np.uint8), "RGBA")
     return img
+
+
+def _texture_pattern(img_y: np.ndarray, tex_seed: int) -> np.ndarray:
+    """Multiplicative texture over the VERTICAL image coordinate only.
+
+    Vertical-only is what makes the fixture's texture VIEW-CONSISTENT: a
+    y-axis rotation (every fixture render) and the left-right flip aug
+    both leave world y — and the intrinsic maps v = -y_world — untouched,
+    so a surface point keeps one well-defined albedo across all rendered
+    views. That is the property the netC color-label path needs
+    (surface_albedo below must equal what the render painted)."""
+    trng = np.random.RandomState(tex_seed)
+    fy = trng.uniform(3, 12)
+    py = trng.uniform(0, 2 * np.pi)
+    return 1.0 + 0.35 * np.sin(img_y * fy + py)
+
+
+def surface_albedo(points: np.ndarray, color=(90, 140, 200),
+                   textured: bool = False, tex_seed: int = 0) -> np.ndarray:
+    """[N, 3] world points -> [N, 3] albedo in [0, 1]: exactly the color
+    _render_rgba_multi paints at those surface points, for every rotation
+    of the same motion (the pattern is vertical-only, see
+    _texture_pattern; v = -y_world under the fixture intrinsic)."""
+    rgb = np.broadcast_to(np.asarray(color, np.float64) / 255.0,
+                          points.shape[:-1] + (3,)).copy()
+    if textured:
+        pat = _texture_pattern(-points[..., 1], tex_seed)
+        rgb = np.clip(rgb * pat[..., None], 0.0, 1.0)
+    return rgb
+
+
+def _surface_color_arrays(rng: np.random.RandomState, parts, n: int,
+                          color, textured: bool, tex_seed: int):
+    """[n, 6] EXACT-surface points + their albedo (the color_{i}.npy
+    contents consumed by PPLDynamicDataset.get_sampling_color)."""
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+    if parts is not None:
+        pick = rng.randint(0, len(parts), n)
+        centers = np.stack([parts[i][0] for i in pick])
+        radii = np.stack([parts[i][1] for i in pick])
+        pts = centers + d * radii
+    else:
+        pts = d * np.asarray(RADII)
+    rgb = surface_albedo(pts, color, textured, tex_seed)
+    return np.concatenate([pts, rgb], -1).astype(np.float32)
 
 
 def _sample_arrays_multi(rng: np.random.RandomState, parts: list, n: int,
@@ -200,9 +243,12 @@ def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
         os.makedirs(os.path.join(mdir, "calib"), exist_ok=True)
         for rot in rotations:
             if "render" not in skip:
+                # one tex_seed for ALL rotations of a motion: the pattern
+                # is vertical-only (view-consistent), so every view paints
+                # the same surface albedo — the color labels' invariant
                 img = (_render_rgba_multi(person, rot, color=color,
                                           textured=textured,
-                                          tex_seed=seed + rot)
+                                          tex_seed=seed)
                        if person is not None else _render_rgba(rot))
                 img.save(os.path.join(mdir, "render", f"{rot:03d}.png"))
             extrinsic = _rotate_y(rot)
@@ -230,6 +276,14 @@ def make_dynamic_fixture(root: str, subjects=("subj_a", "subj_b"),
                              else _sample_arrays(rng, n_points, sigma_geo))
                 np.save(os.path.join(sdir, f"surface_{i}.npy"), surf)
                 np.save(os.path.join(sdir, f"uniform_{i}.npy"), uni)
+                # color supervision sites (netC): exact-surface xyz + the
+                # albedo the renders painted there — the color-sampling
+                # path the reference reserves but never implements
+                # (ppl_dynamic.py:144 raises NotImplementedError)
+                np.save(os.path.join(sdir, f"color_{i}.npy"),
+                        _surface_color_arrays(
+                            rng, person, n_points, color,
+                            textured and person is not None, seed))
 
     people = {}
     for subject in subjects:

@@ -217,6 +217,9 @@ class PPLDynamicDataset(_PPLBase):
         if self.cfg.num_sample_geo:
             pts, labels = self.get_sampling_geo(motion)
             data.update({"samples_geo": pts, "labels_geo": labels})
+        if self.cfg.num_sample_color:
+            pts_c, rgb = self.get_sampling_color(motion)
+            data.update({"samples_color": pts_c, "labels_color": rgb})
         return data
 
     def get_sampling_geo(self, motion):
@@ -235,6 +238,31 @@ class PPLDynamicDataset(_PPLBase):
         samples = np.concatenate([surface, uniform])
         np.random.shuffle(samples)
         return balance_in_out(samples[:, :3], samples[:, 3], num_sample)
+
+    def get_sampling_color(self, motion):
+        """netC color supervision: exact-surface points + their albedo
+        from the pre-baked color_{i}.npy files ([N, 6] xyz + rgb in
+        [0, 1]), positions jittered by sigma_color, colors normalized to
+        [-1, 1] (the tanh head's range).
+
+        The reference RESERVES this path (cfg.num_sample_color /
+        sigma_color, common/config.py:88-90) but raises
+        NotImplementedError at ppl_dynamic.py:144 — implemented here to
+        the PIFu contract its config names: surface samples with tight
+        positional jitter, view-consistent color labels. Labels stay
+        valid under the flip/scale augs because the fixture's albedo
+        field is x-flip-invariant by construction
+        (fixture._texture_pattern) and world-space (calib scaling moves
+        the image, not the field)."""
+        num = self.cfg.num_sample_color
+        path = self.get_sample_path(motion)
+        data = np.load(os.path.join(
+            path, f"color_{random.randint(0, 99)}.npy"))
+        pick = np.random.choice(len(data), num, replace=len(data) < num)
+        pts = (data[pick, :3]
+               + np.random.randn(num, 3) * self.cfg.sigma_color)
+        rgb = data[pick, 3:6] * 2.0 - 1.0
+        return pts.astype(np.float32), rgb.astype(np.float32)
 
 
 class PPLStaticDataset(_PPLBase):

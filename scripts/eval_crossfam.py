@@ -56,6 +56,9 @@ def main():
                    help="ray grid (default: 129 on cpu, 257 otherwise)")
     p.add_argument("--seeds", type=int, nargs="*",
                    default=[31337, 4242, 777])
+    p.add_argument("--no_tex", action="store_true",
+                   help="skip the netC texture PSNR even if the "
+                        "committed netc_capsule.npz is present")
     args = p.parse_args()
 
     import jax
@@ -64,7 +67,7 @@ def main():
     import jax.numpy as jnp
 
     from monoport_tpu import get_cfg_defaults
-    from monoport_tpu.engine import ReconEngine
+    from monoport_tpu.engine import EngineCfg, ReconEngine
     from monoport_tpu.models import MonoPortNet
     from monoport_tpu.recon.hierarchy import HierarchicalRecon
     from monoport_tpu.training.datasets import superquadric as sq
@@ -80,29 +83,59 @@ def main():
     cfg = get_cfg_defaults()
     netG = MonoPortNet(cfg.netG)
 
-    def build_engine():
+    def build_engine(netC=None):
         if fine >= 257:
-            return ReconEngine(
-                netG, recon=HierarchicalRecon(resolutions=(17, 33, 65),
-                                              budgets=(0, 4096, 16384),
-                                              select="uncertain"),
-                mode="ray", fine_res=257, ray_taps=6, ray_window=192,
-                compute_dtype=jnp.bfloat16, use_pallas=True,
-                march_levels=(33, 65))
-        return ReconEngine(
-            netG, recon=HierarchicalRecon(resolutions=(17, 33),
-                                          budgets=(0, 4096),
-                                          select="uncertain"),
-            mode="ray", fine_res=fine, ray_taps=6, ray_window=96)
+            return ReconEngine(netG, netC,
+                       recon=HierarchicalRecon(resolutions=(17, 33, 65), budgets=(0, 4096, 16384), select="uncertain"),
+                       config=EngineCfg.flat(mode="ray", fine_res=257,
+                                             ray_taps=6, ray_window=192,
+                                             compute_dtype=jnp.bfloat16,
+                                             use_pallas=True,
+                                             march_levels=(33, 65)))
+        return ReconEngine(netG, netC,
+                   recon=HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096), select="uncertain"),
+                   config=EngineCfg.flat(mode="ray", fine_res=fine, ray_taps=6,
+                                         ray_window=96))
 
     engine = build_engine()
     calib = jnp.eye(4, dtype=jnp.float32)[None]
 
-    def iou_of(image, occ_fn, params_g):
-        out = engine.frame(params_g, image[None], calib=calib)
+    # trained netC (committed): cross-family TEXTURE PSNR rides the same
+    # frames (VERDICT r4 item 4) — the GT surface color is the shared
+    # render_front_occ shading model at the reconstructed surface, which
+    # is exactly what gt_texture_canvas paints for ANY family rendered
+    # through it (capsule and superquadric both)
+    netC, params_c = None, None
+    ckpt_c = os.path.join(os.path.dirname(__file__), os.pardir,
+                          "monoport_tpu", "data", "netc_capsule.npz")
+    if os.path.exists(ckpt_c) and not args.no_tex:
+        netC = MonoPortNet(cfg.netC)
+        params_c = {"params": load_params(ckpt_c)[0]}
+        engine = build_engine(netC)
+
+    from monoport_tpu.recon.depth_peel import visualize
+    from monoport_tpu.training.datasets.capsule import gt_texture_canvas
+    from monoport_tpu.training.metrics import masked_psnr
+
+    def iou_of(image, occ_fn, params_g, flat=False, appearance=None,
+               tex_gt=True):
+        out = engine.frame(params_g, image[None], params_c,
+                           image[None] if params_c is not None else None,
+                           calib=calib)
         got = np.asarray(out["valid"]) > 0.5
         gt = gt_silhouette(occ_fn, fine)
-        return float((got & gt).sum() / max((got | gt).sum(), 1))
+        iou = float((got & gt).sum() / max((got | gt).sum(), 1))
+        psnr = None
+        if netC is not None and tex_gt and "render_tex" in out:
+            canvas = gt_texture_canvas(jnp.asarray(out["depth"]),
+                                       jnp.asarray(out["valid"]), fine,
+                                       flat=flat, appearance=appearance)
+            gt_vis, _ = visualize(canvas, engine.render_size)
+            m = np.asarray(out["mask"])
+            m = (m[..., 0] if m.ndim == 3 else m) > 0.5
+            psnr, _ = masked_psnr(np.asarray(out["render_tex"]),
+                                  np.asarray(gt_vis), m)
+        return iou, psnr
 
     paths = args.ckpt or [os.path.join(
         os.path.dirname(__file__), os.pardir, "monoport_tpu", "data",
@@ -111,25 +144,40 @@ def main():
         params_g = {"params": load_params(path)[0]}
         res = {"ckpt": os.path.basename(path), "fine_res": fine}
         fams = {"capsule": [], "sq": [], "sq_flat": []}
+        tex = {"capsule": [], "sq": [], "sq_flat": []}
+
+        def record(fam, pair):
+            iou, psnr = pair
+            fams[fam].append(iou)
+            if psnr is not None:
+                tex[fam].append(psnr)
+
         for seed in args.seeds:
             caps = skeleton3d(jax.random.PRNGKey(seed))
             img = render_front(caps, 512)[0]
-            fams["capsule"].append(iou_of(
+            record("capsule", iou_of(
                 img, lambda pts: capsule_occupancy(pts, caps), params_g))
             body = sq.sq_body(jax.random.PRNGKey(seed))
             occ = lambda pts: sq.sq_occupancy(pts, body)  # noqa: E731
-            fams["sq"].append(iou_of(
+            record("sq", iou_of(
                 sq.render_front(body, 512)[0], occ, params_g))
-            fams["sq_flat"].append(iou_of(
-                sq.render_front(body, 512, flat=True)[0], occ, params_g))
+            record("sq_flat", iou_of(
+                sq.render_front(body, 512, flat=True)[0], occ, params_g,
+                flat=True))
         radii = jnp.asarray(RADII)
+        # the fixture's PIL colors are not the render_front_occ shading
+        # model, so the ellipsoid family is geometry-only (tex_gt=False)
         fams["ellipsoid"] = [iou_of(
             jnp.asarray(fixture_image()),
             lambda pts: (jnp.square(pts / radii).sum(-1) <= 1.0
-                         ).astype(jnp.float32), params_g)]
+                         ).astype(jnp.float32), params_g, tex_gt=False)[0]]
         for fam, vals in fams.items():
             res[fam] = round(float(np.mean(vals)), 4)
             res[fam + "_min"] = round(float(np.min(vals)), 4)
+        for fam, vals in tex.items():
+            if vals:
+                res[fam + "_tex_psnr"] = round(float(np.mean(vals)), 2)
+                res[fam + "_tex_psnr_min"] = round(float(np.min(vals)), 2)
         print(json.dumps(res), flush=True)
 
 
