@@ -29,6 +29,12 @@ def parse_args(argv=None):
     parser.add_argument("--dataset", default="synthetic",
                         choices=["synthetic", "ppl_dynamic", "ppl_static"])
     parser.add_argument("--net", default="netG", choices=["netG", "netC"])
+    parser.add_argument("--netg", default="monoport_tpu/data/netg_capsule.npz",
+                        help="frozen geometry net weights (.npz) supplying "
+                        "netC's feat_prior (MonoPortNet.py:187-208: the "
+                        "color net conditions on netG's features). An "
+                        "empty string or a missing file falls back to a "
+                        "PRNGKey(0)-initialized netG (CI fixtures).")
     parser.add_argument("--epochs", type=int, default=0,
                         help="override cfg.num_epoch")
     parser.add_argument("--resume_from", default="",
@@ -76,12 +82,45 @@ def build_loader(args, cfg):
                       num_workers=cfg.num_threads)
 
 
-def to_train_batch(batch: dict) -> dict:
+def to_train_batch(batch: dict, net: str = "netG") -> dict:
+    """netG: occupancy supervision (samples_geo). netC: surface-color
+    supervision (samples_color, ppl.get_sampling_color) — the caller adds
+    'feat_prior' from the frozen geometry net (make_prior_fn)."""
+    if net == "netC":
+        return {"images": batch["image"],
+                "points": batch["samples_color"],
+                "calibs": batch["calib"], "labels": batch["labels_color"]}
     labels = batch["labels_geo"]
     if labels.ndim == 2:
         labels = labels[..., None]
     return {"images": batch["image"], "points": batch["samples_geo"],
             "calibs": batch["calib"], "labels": labels}
+
+
+def make_prior_fn(cfg, netg_path: str):
+    """Jitted (images -> feat_prior): the frozen netG's last feature stage
+    (apps/train_capsule_netC.feat_prior_fn, here through the file-backed
+    path). Missing/empty path = random-init netG (fixture-scale CI)."""
+    import os
+
+    import jax.numpy as jnp
+
+    netG = MonoPortNet(cfg.netG)
+    if netg_path and os.path.exists(netg_path):
+        from ..utils.params_io import load_params
+        params_g = {"params": load_params(netg_path)[0]}
+    else:
+        size = cfg.dataset.input_size
+        params_g = netG.init(
+            jax.random.PRNGKey(0), np.zeros((1, size, size, 3), np.float32),
+            np.zeros((1, 8, 3), np.float32),
+            np.eye(4, dtype=np.float32)[None])
+
+    @jax.jit
+    def prior_fn(images):
+        return netG.apply(params_g, jnp.asarray(images), method="filter")[-1][-1]
+
+    return prior_fn
 
 
 def main(argv=None):
@@ -92,19 +131,26 @@ def main(argv=None):
     epochs = args.epochs or cfg.num_epoch
 
     loader = build_loader(args, cfg)
+    prior_fn = (make_prior_fn(cfg, args.netg) if args.net == "netC"
+                else None)
+
+    def prep(b):
+        batch = jax.tree.map(np.asarray, to_train_batch(b, args.net))
+        if prior_fn is not None:
+            batch["feat_prior"] = np.asarray(prior_fn(batch["images"]))
+        return batch
+
     if args.resume_from:
         # state must exist before load_ckpt: init from one example batch
         source = (loader.epoch(0) if loader is not None
                   else make_batches(dataset, cfg.batch_size, seed=0))
-        example = jax.tree.map(np.asarray, to_train_batch(next(iter(source))))
-        trainer.init_state(example)
+        trainer.init_state(prep(next(iter(source))))
         trainer.load_ckpt(args.resume_from)
     last = float("nan")
     for epoch in range(trainer.epoch, epochs):
         source = (loader.epoch(epoch) if loader is not None
                   else make_batches(dataset, cfg.batch_size, seed=epoch))
-        batches = (jax.tree.map(np.asarray, to_train_batch(b))
-                   for b in source)
+        batches = (prep(b) for b in source)
         last = trainer.train_epoch(batches, epoch)
         trainer.logger.info("epoch %d done, mean loss %.5f", epoch, last)
         # store epoch+1: a resume from this checkpoint CONTINUES with the

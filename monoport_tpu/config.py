@@ -136,6 +136,11 @@ def get_cfg_defaults() -> CfgNode:
     c.optim = "RMSprop"
     c.schedule = [15, 20]
     c.gamma = 0.1
+    # global-norm gradient clip, 0 = off. Not in the reference config;
+    # load-bearing for netC (the un-normalized ResnetFilter output
+    # explodes under plain adam at lr >= 1e-3 and saturates the tanh
+    # head to zero gradients — apps/train_capsule_netC.py measured it)
+    c.grad_clip = 0.0
     c.resume = False
     # train loop
     c.batch_size = 4

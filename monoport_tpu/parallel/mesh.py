@@ -51,10 +51,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharding(mesh: Mesh) -> dict:
     """Shardings for a training batch dict (see datasets): images are
-    data-sharded; points/labels shard both batch and the point axis."""
+    data-sharded; points/labels shard both batch and the point axis.
+    Extra keys (e.g. 'feat_prior', the frozen-netG features of a netC
+    batch) default to data-sharded via make_train_step's dict wrapper."""
     return {
         "images": NamedSharding(mesh, P(DATA_AXIS)),
         "points": NamedSharding(mesh, P(DATA_AXIS, POINT_AXIS)),
         "calibs": NamedSharding(mesh, P(DATA_AXIS)),
         "labels": NamedSharding(mesh, P(DATA_AXIS, POINT_AXIS)),
+        "feat_prior": NamedSharding(mesh, P(DATA_AXIS)),
     }

@@ -36,11 +36,14 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(optim: str = "RMSprop", learning_rate: float = 1e-3,
                    weight_decay: float = 0.0, momentum: float = 0.0,
-                   schedule: tuple = (), gamma: float = 0.1):
+                   schedule: tuple = (), gamma: float = 0.1,
+                   grad_clip: float = 0.0):
     """Optimizer + MultiStepLR-style schedule (common/trainer.py:36-56).
 
     ``schedule`` milestones are in *steps* here (the reference schedules on
-    epochs; Trainer converts) with decay factor ``gamma``.
+    epochs; Trainer converts) with decay factor ``gamma``. ``grad_clip``
+    prepends a global-norm clip (cfg.grad_clip; netC needs it, see
+    config.py).
     """
     if schedule:
         lr = optax.piecewise_constant_schedule(
@@ -60,13 +63,17 @@ def make_optimizer(optim: str = "RMSprop", learning_rate: float = 1e-3,
         raise NotImplementedError(optim)
     if weight_decay and name in ("sgd", "adam", "rmsprop"):
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
 
 
 def create_train_state(net, rng, example_batch, tx) -> TrainState:
     variables = net.init(rng, example_batch["images"],
                          example_batch["points"], example_batch["calibs"],
-                         labels=example_batch["labels"], train=True)
+                         labels=example_batch["labels"],
+                         feat_prior=example_batch.get("feat_prior"),
+                         train=True)
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"], opt_state=tx.init(
                           variables["params"]), tx=tx,
@@ -78,18 +85,26 @@ def _make_loss_fn(net) -> Callable:
 
     With batch_stats (norm='batch_train'), the forward runs training-mode
     BN and returns the updated running stats; the batch-mean reduction is
-    global across any data-parallel sharding (jit inserts the collective)."""
+    global across any data-parallel sharding (jit inserts the collective).
+
+    A batch may carry 'feat_prior' (netC training: the frozen netG's last
+    feature stage, MonoPortNet.py:187-208 — computed outside this step so
+    the geometry net takes no gradients); its presence is part of the
+    batch's pytree structure, so each variant traces its own program."""
 
     def loss_fn(params, batch_stats, batch):
+        prior = batch.get("feat_prior")
         if batch_stats is None:
             _, loss = net.apply({"params": params}, batch["images"],
                                 batch["points"], batch["calibs"],
-                                labels=batch["labels"], train=True)
+                                labels=batch["labels"], feat_prior=prior,
+                                train=True)
             return loss, None
         (_, loss), new_vars = net.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], batch["points"], batch["calibs"],
-            labels=batch["labels"], train=True, mutable=["batch_stats"])
+            labels=batch["labels"], feat_prior=prior,
+            train=True, mutable=["batch_stats"])
         return loss, new_vars["batch_stats"]
 
     return loss_fn
@@ -115,10 +130,22 @@ def make_train_step(net, mesh=None) -> Callable:
         return jax.jit(step_fn, donate_argnums=0)
 
     rep = replicated(mesh)
-    bs = batch_sharding(mesh)
-    # prefix-pytree shardings: replicated state, sharded batch dict
-    return jax.jit(step_fn, in_shardings=(rep, bs),
-                   out_shardings=(rep, rep), donate_argnums=0)
+    bs_all = batch_sharding(mesh)
+    # prefix-pytree shardings: replicated state, sharded batch dict. The
+    # batch spec is restricted to the keys actually present (a netG batch
+    # has no 'feat_prior'; pjit prefix dicts must match keys exactly), one
+    # jitted variant per batch structure.
+    cache: dict = {}
+
+    def stepper(state: TrainState, batch):
+        key = tuple(sorted(batch))
+        if key not in cache:
+            bs = {k: bs_all[k] for k in batch}
+            cache[key] = jax.jit(step_fn, in_shardings=(rep, bs),
+                                 out_shardings=(rep, rep), donate_argnums=0)
+        return cache[key](state, batch)
+
+    return stepper
 
 
 def make_scan_train_step(net, mesh=None) -> Callable:

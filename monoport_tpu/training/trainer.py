@@ -53,7 +53,8 @@ class Trainer:
         milestones = [int(m) * steps_per_epoch for m in cfg.schedule]
         self.tx = make_optimizer(cfg.optim, cfg.learning_rate,
                                  cfg.weight_decay, cfg.momentum,
-                                 tuple(milestones), cfg.gamma)
+                                 tuple(milestones), cfg.gamma,
+                                 grad_clip=cfg.get("grad_clip", 0.0))
         n_dev = len(jax.devices())
         self.mesh = None
         if use_mesh and n_dev > 1:

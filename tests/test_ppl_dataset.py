@@ -299,3 +299,173 @@ def test_ppl_training_improves_eval_iou(tmp_path):
     iou_after = eval_iou(trained)
     assert iou_after > iou_init + 0.1, (iou_init, iou_after)
     assert iou_after > 0.52, iou_after
+
+
+@pytest.fixture(scope="module")
+def color_root(tmp_path_factory):
+    """Textured rich tree WITH the color_{i}.npy supervision files —
+    the netC-through-PPL fixture (VERDICT r4 item 5)."""
+    root = str(tmp_path_factory.mktemp("ppl_color"))
+    info = make_dynamic_fixture(root, subjects=("c0", "c1"),
+                                rotations=(0, 120, 240), rich=True,
+                                textured=True, broken=False, seed=11)
+    return root, info
+
+
+def test_color_item_contract(color_root):
+    """get_sampling_color contract: [N, 3] near-surface points + [N, 3]
+    albedo labels on the tanh head's [-1, 1] scale (the reference
+    reserves cfg.num_sample_color/sigma_color, common/config.py:88-90,
+    but raises NotImplementedError at ppl_dynamic.py:144)."""
+    root, _ = color_root
+    ds = PPLDynamicDataset(_ds_cfg(num_sample_color=48, sigma_color=0.0),
+                           root, training=False)
+    random.seed(0)
+    np.random.seed(0)
+    item = ds.get_item(0)
+    assert item["samples_color"].shape == (48, 3)
+    assert item["labels_color"].shape == (48, 3)
+    assert item["labels_color"].dtype == np.float32
+    assert item["labels_color"].min() >= -1.0
+    assert item["labels_color"].max() <= 1.0
+    # geometry keys unchanged alongside
+    assert item["samples_geo"].shape == (64, 3)
+
+
+def test_color_labels_match_every_rendered_view(color_root):
+    """View-consistency — the property the netC path depends on: a stored
+    surface albedo equals the pixel the renderer painted at the point's
+    projection in EVERY rotation's render (the fixture's texture pattern
+    is vertical-only, fixture._texture_pattern, so a y-rotation cannot
+    change a surface point's painted color)."""
+    from PIL import Image
+
+    root, info = color_root
+    mdir = sorted(info["good"])[0]
+    data = np.load(os.path.join(mdir, "samples_0.05_v3", "color_0.npy"))
+    pts, rgb = data[:, :3], data[:, 3:6]
+    checked = 0
+    for rot in (0, 120, 240):
+        arr = np.asarray(Image.open(
+            os.path.join(mdir, "render", f"{rot:03d}.png")),
+            dtype=np.float32) / 255.0
+        calib = load_calib_dynamic(
+            os.path.join(mdir, "calib", f"{rot:03d}.txt"))
+        proj = projection(pts, calib)
+        size = arr.shape[0]
+        # fixture.py paints at cx=(x_w+1)*size/2, cy=(1-y_w)*size/2 and
+        # the dataset calib's intrinsic already flips y (proj_y = -y_w),
+        # so cy = (1 + proj_y)*size/2
+        u = (proj[:, 0] + 1.0) * size / 2
+        v = (proj[:, 1] + 1.0) * size / 2
+        ui, vi = np.round(u).astype(int), np.round(v).astype(int)
+        ok = (ui > 2) & (ui < size - 3) & (vi > 2) & (vi < size - 3)
+        # interior-only: the full 5x5 neighborhood must be opaque, which
+        # keeps antialiased silhouette edges and part boundaries out
+        alpha = arr[..., 3]
+        interior = np.ones_like(ok)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                interior &= alpha[np.clip(vi + dy, 0, size - 1),
+                                  np.clip(ui + dx, 0, size - 1)] > 0.99
+        sel = ok & interior
+        assert sel.sum() > 50, f"rot {rot}: too few interior points"
+        painted = arr[vi[sel], ui[sel], :3]
+        err = np.abs(painted - rgb[sel]).max(axis=-1)
+        # nearest-pixel quantization + the pattern's vertical gradient
+        # bound the expected deviation well under 8-bit + half a texel
+        assert np.median(err) < 0.02, (rot, np.median(err))
+        assert (err < 0.06).mean() > 0.95, (rot, (err < 0.06).mean())
+        checked += int(sel.sum())
+    assert checked > 300
+
+
+def test_netc_trains_through_ppl_path(color_root, tmp_path):
+    """netC end-to-end through the file-backed path (VERDICT r4 item 5):
+    fixture color files -> PPLDynamicDataset.get_sampling_color ->
+    DataLoader -> apps/train.py --net netC (feat_prior from a frozen
+    netG inside the batch prep) -> Trainer -> jitted step. Gate: the
+    trained params beat the init params' color L1 on a fixed batch.
+    Reference contract: MonoPortNet.py:187-208 (netC conditions on netG
+    features); the full-model TPU run is scripts/train_ppl_r5.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from monoport_tpu.apps.train import (build_loader, main, make_prior_fn,
+                                         parse_args, to_train_batch)
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.models.backbones import BACKBONES, ResnetFilter
+    from monoport_tpu.models.heads import HEADS
+    from monoport_tpu.models.heads.surface_classifier import \
+        SurfaceClassifier
+    from monoport_tpu.parallel.train_step import (create_train_state,
+                                                  make_optimizer)
+
+    # CI-sized netC: small ResNet filter (32*4=128 ch; GroupNorm needs
+    # channel counts divisible by its 32 groups) + tiny netG prior
+    # (hourglass_dim 64) + z feature -> 193-channel color MLP
+    BACKBONES.setdefault("tiny_resblk", lambda o=None, name=None:
+                         ResnetFilter(ngf=32, n_blocks=2, name=name))
+    HEADS.setdefault("tiny_chead", lambda o=None, name=None:
+                     SurfaceClassifier(filter_channels=(193, 64, 3),
+                                       num_views=1, no_residual=False,
+                                       last_op=jnp.tanh, name=name))
+
+    root, _ = color_root
+    overrides = ["dataset.rotation_step", "120",
+                 "dataset.num_sample_geo", "64",
+                 "dataset.num_sample_color", "128",
+                 "dataset.sigma_color", "0.001",
+                 "dataset.blur", "0.0",
+                 "dataset.input_size", "128",
+                 "dataset.aug_bri", "0.0", "dataset.aug_con", "0.0",
+                 "dataset.aug_sat", "0.0", "dataset.aug_hue", "0.0",
+                 "batch_size", "2",
+                 "num_threads", "0",
+                 "freq_plot", "1", "freq_save", "100000",
+                 "optim", "adam", "learning_rate", "1e-3",
+                 "grad_clip", "1.0",
+                 "checkpoints_path", str(tmp_path / "ckpt"),
+                 "results_path", str(tmp_path / "results"),
+                 "name", "netc_gate",
+                 "netG.backbone.num_stack", "1",
+                 "netG.backbone.num_hourglass", "1",
+                 "netG.backbone.hourglass_dim", "64",
+                 "netC.backbone.IMF", "tiny_resblk",
+                 "netC.head.IMF", "tiny_chead"]
+
+    args, cfg = parse_args(["--dataset", "ppl_dynamic", "--net", "netC",
+                            "--netg", "", "--",
+                            "dataset.root_render", root] + overrides)
+    netC = MonoPortNet(cfg.netC)
+    prior_fn = make_prior_fn(cfg, "")
+
+    random.seed(0)
+    np.random.seed(0)
+    loader = build_loader(args, cfg)
+    batch = jax.tree.map(np.asarray,
+                         to_train_batch(next(iter(loader.epoch(0))), "netC"))
+    batch["feat_prior"] = np.asarray(prior_fn(batch["images"]))
+    assert batch["points"].shape == (2, 128, 3)
+    assert batch["labels"].shape == (2, 128, 3)
+
+    init = create_train_state(netC, jax.random.PRNGKey(0), batch,
+                              make_optimizer("adam", 1e-3)).params
+
+    def l1(params):
+        pred = netC.apply({"params": params}, batch["images"],
+                          batch["points"], batch["calibs"],
+                          feat_prior=jnp.asarray(batch["feat_prior"]))
+        return float(jnp.abs(pred - batch["labels"]).mean())
+
+    loss = main(["--dataset", "ppl_dynamic", "--net", "netC",
+                 "--netg", "", "--epochs", "6", "--",
+                 "dataset.root_render", root] + overrides)
+    assert np.isfinite(loss)
+
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        trained = ckptr.restore(os.path.abspath(
+            str(tmp_path / "ckpt" / "netc_gate" / "epoch_5")))["params"]
+    l_init, l_trained = l1(init), l1(trained)
+    assert l_trained < l_init - 0.05, (l_init, l_trained)
