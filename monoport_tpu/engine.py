@@ -113,9 +113,27 @@ class TextureCfg:
     reuse_compact: the per-point texture query rides the final refine
       level's compaction (window, gathered rays, refined depths) instead
       of re-deriving window/valid/flatnonzero from the assembled maps.
+    stride: query colors on a DENSE (window/stride)^2 lattice instead of
+      the compacted valid set — no flatnonzero/scatter glue at all, and
+      stride 2 quarters the queried points (the r4 roofline's reading:
+      the rotated texture stage is small-op latency, and its measured
+      cost DOES scale with point count, probe_points_cost.py). Colors
+      are bilinearly upsampled back to the ray lattice; geometry is
+      untouched. Quality trade is bounded by color smoothness over
+      ~stride fine pixels (measured: probe_tex_stride.py + DESIGN.md).
+      1 = exact (compacted-valid query, the r4 path).
+    pallas_head: run the per-point texture query's color MLP through the
+      fused Pallas head like the occupancy queries do. MEASURED as the
+      rotated texture stage's entire fixed cost (probe_tex_headpath.py,
+      r5): the pallas_call at the texture shape costs ~7.4 ms/frame that
+      the XLA flax head simply doesn't (37.7 -> 52.5 fps, output MAD
+      1.2e-4). Default False = XLA head for the per-point color query;
+      engine.use_pallas keeps governing the occupancy heads.
     """
     bf16: bool = False
     reuse_compact: bool = True
+    stride: int = 1
+    pallas_head: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +169,8 @@ class EngineCfg:
         "rot_anchor_texels": ("rotated", "anchor_texels"),
         "tex_bf16": ("texture", "bf16"),
         "tex_reuse_compact": ("texture", "reuse_compact"),
+        "tex_stride": ("texture", "stride"),
+        "tex_pallas_head": ("texture", "pallas_head"),
     }
 
     @classmethod
@@ -216,6 +236,8 @@ class ReconEngine:
         self.compact_rotated = cfg.rotated.compact
         self.tex_bf16 = cfg.texture.bf16
         self.tex_reuse_compact = cfg.texture.reuse_compact
+        self.tex_stride = cfg.texture.stride
+        self.tex_pallas_head = cfg.texture.pallas_head
         self.rot_anchors = cfg.rotated.anchors
         self.rot_anchor_texels = cfg.rotated.anchor_texels
         if self.march_levels:
@@ -588,6 +610,43 @@ class ReconEngine:
             return colorize(maps, query_color, r, self.recon.b_min,
                             self.recon.b_max)
         from .recon.ray_refine import _axis_window, _sample_grid
+        if self.tex_stride > 1 and query_color is not None:
+            # dense strided color lattice (texture.stride docstring): one
+            # (w/stride)^2 grid query over the SAME window span — no
+            # valid resample, no flatnonzero, no scatter; colors are
+            # bilinearly upsampled to the ray lattice and masked by
+            # maps.valid as every other branch. Invalid lattice pixels
+            # carry the march's fallback-depth color; they only matter as
+            # a <= stride-texel halo blended at silhouette edges.
+            # no telemetry row: the dense lattice cannot drop pixels
+            # (compact_report tolerates the absent texture row)
+            if reuse is not None:
+                w = reuse["w"]
+                x0, sx, y0, sy = (reuse["x0"], reuse["sx"],
+                                  reuse["y0"], reuse["sy"])
+            else:
+                x0, sx = _axis_window(maps.valid.any(axis=1), r, r, 1.0, w)
+                y0, sy = _axis_window(maps.valid.any(axis=0), r, r, 1.0, w)
+            wc = max(2, w // self.tex_stride)
+            sxc = sx * (w - 1) / (wc - 1)
+            syc = sy * (w - 1) / (wc - 1)
+            ac = x0 + jnp.arange(wc, dtype=jnp.float32) * sxc
+            bc = y0 + jnp.arange(wc, dtype=jnp.float32) * syc
+            depth_c = _sample_grid(maps.depth, ac, bc)
+            xw = ac * sr[0] + b_min[0]
+            yw = bc * sr[1] + b_min[1]
+            zw = (float(r) - depth_c) * sr[2] + b_min[2]
+            pts = jnp.stack([jnp.broadcast_to(xw[:, None], (wc, wc)),
+                             jnp.broadcast_to(yw[None, :], (wc, wc)),
+                             zw], axis=-1).reshape(1, -1, 3)
+            color_c = query_color(pts)[0].reshape(wc, wc, 3)
+            fr = jnp.arange(r, dtype=jnp.float32)
+            u = jnp.clip((fr - x0) / sxc, 0.0, wc - 1)
+            v = jnp.clip((fr - y0) / syc, 0.0, wc - 1)
+            color = jnp.stack([_sample_grid(color_c[..., k], u, v)
+                               for k in range(3)], axis=-1)
+            color = color * 0.5 + 0.5
+            return jnp.where(maps.valid[..., None], color, 1.0)
         if reuse is not None:
             # ride the final refine level's compaction: same window, same
             # gathered rays, refined depth straight from the core — no
@@ -792,7 +851,12 @@ class ReconEngine:
                 out["mask"] = (mask.astype(jnp.float32).sum()
                                + feats_c[-1][-1].astype(jnp.float32).sum())
                 return out
-            head_c = self._head_fn(self.netC, params_c)
+            # per-point color MLP: XLA head by default — the Pallas head
+            # at the texture shape measured ~7.4 ms/frame of pure kernel
+            # overhead (texture.pallas_head docstring; the widest r4
+            # roofline gap closed by this one line)
+            head_c = (self._head_fn(self.netC, params_c)
+                      if self.tex_pallas_head else None)
 
             color_grid = (self._grid_color_fn(self.netC, params_c, feats_c,
                                               calib)

@@ -406,3 +406,79 @@ def test_texture_reuse_frontal_untouched():
     o_off = off.frame(params_g, image, params_c, image, calib=eye)
     np.testing.assert_array_equal(np.asarray(o_on["render_tex"]),
                                   np.asarray(o_off["render_tex"]))
+
+
+def test_texture_stride_close_and_geometry_untouched():
+    """texture.stride=2: the dense strided color lattice leaves geometry
+    bit-identical, keeps the rendered texture close to the exact stride-1
+    colors on the trained model (colors are smooth at the fine-pixel
+    scale), and emits NO texture telemetry row (dense = nothing can
+    drop). Frontal frames are byte-identical (grid path)."""
+    import os
+
+    import pytest
+
+    from monoport_tpu.config import get_cfg_defaults
+    from monoport_tpu.engine import EngineCfg, ReconEngine
+    from monoport_tpu.models import MonoPortNet
+    from monoport_tpu.recon.calib import pifu_calib
+    from monoport_tpu.recon.hierarchy import HierarchicalRecon
+    from monoport_tpu.render.camera import orbit_extrinsic
+    from monoport_tpu.training.datasets.capsule import (render_front,
+                                                        skeleton3d)
+    from monoport_tpu.utils.params_io import load_params
+
+    data = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "monoport_tpu", "data")
+    pg = os.path.join(data, "netg_capsule.npz")
+    pc = os.path.join(data, "netc_capsule.npz")
+    if not (os.path.exists(pg) and os.path.exists(pc)):
+        pytest.skip("committed capsule checkpoints absent")
+    cfg = get_cfg_defaults()
+    netG = MonoPortNet(cfg.netG)
+    netC = MonoPortNet(cfg.netC)
+    params_g = {"params": load_params(pg)[0]}
+    params_c = {"params": load_params(pc)[0]}
+
+    caps = skeleton3d(jax.random.PRNGKey(7), scale_range=(0.4, 0.45))
+    image = render_front(caps, 512)[0][None]
+    rot = jnp.asarray(pifu_calib(orbit_extrinsic(20.0, 10.0),
+                                 np.eye(4, dtype=np.float32)))
+    front = jnp.eye(4, dtype=jnp.float32)[None]
+    recon = HierarchicalRecon(resolutions=(17, 33), budgets=(0, 4096),
+                              select="uncertain")
+    kw = dict(mode="ray", fine_res=65, ray_taps=6,
+              ray_window=48, march_levels=(17, 33), compact_rotated=0.625)
+    exact = ReconEngine(netG, netC, recon=recon,
+                config=EngineCfg.flat(tex_stride=1, **kw))
+    strided = ReconEngine(netG, netC, recon=recon,
+                  config=EngineCfg.flat(tex_stride=2, **kw))
+    out_e = exact.frame(params_g, image, params_c, image, calib=rot)
+    out_s = strided.frame(params_g, image, params_c, image, calib=rot)
+
+    assert np.asarray(out_e["valid"]).sum() > 50
+    for k in ("valid", "depth", "render_norm"):    # geometry untouched
+        np.testing.assert_array_equal(np.asarray(out_s[k]),
+                                      np.asarray(out_e[k]), err_msg=k)
+    # telemetry: refine rows only (no texture row), nothing dropped
+    assert np.asarray(out_s["compact_dropped"]).shape[0] == 2
+    assert (np.asarray(out_s["compact_dropped"]) == 0).all()
+    # color closeness at valid pixels, [0,1] scale
+    m = np.asarray(out_e["valid"]) > 0.5
+    diff = np.abs(np.asarray(out_s["render_tex"])
+                  - np.asarray(out_e["render_tex"]))
+    # render_tex is the render_size canvas; cut to the subject via mask
+    mask = np.asarray(out_e["mask"])
+    mask = (mask[..., 0] if mask.ndim == 3 else mask) > 0.5
+    assert m.sum() > 0 and mask.sum() > 0
+    mad = float(diff[mask].mean())
+    p99 = float(np.quantile(diff[mask], 0.99))
+    assert mad < 0.02, mad
+    assert p99 < 0.15, p99
+
+    # frontal grid path byte-identical (stride only touches the rotated
+    # per-point query)
+    f_e = exact.frame(params_g, image, params_c, image, calib=front)
+    f_s = strided.frame(params_g, image, params_c, image, calib=front)
+    np.testing.assert_array_equal(np.asarray(f_s["render_tex"]),
+                                  np.asarray(f_e["render_tex"]))

@@ -112,10 +112,11 @@ def test_trained_crossfam_generalization(nets):
     (VERDICT r3 item 3): silhouette IOU on a superquadric-limb body
     (boxy cross-sections the capsule generator cannot emit; shaded and
     shading-free renders) and on the PPL-fixture ellipsoid. Measured at
-    this reduced 129-ray profile (scripts/eval_crossfam.py, 3 seeds):
-    sq 0.873 mean / 0.861 min, sq_flat 0.889 / 0.874, ellipsoid 0.893 —
-    the gates lock in most of that, so curriculum overfitting cannot
-    ship green."""
+    this test's exact CPU config (seed 31337, 129-ray profile, highest
+    matmul precision; r5 session): flat 0.9249, shaded 0.9100, ellipsoid
+    0.8947 — gates locked at measured-0.02 (VERDICT r4 item 4), so a
+    regression of the committed weights cannot ship green. The 3-seed
+    sweep record lives in scripts/eval_crossfam.py + DESIGN.md."""
     from monoport_tpu.training.datasets import superquadric as sq
     from monoport_tpu.training.datasets.fixture import RADII
 
@@ -141,9 +142,9 @@ def test_trained_crossfam_generalization(nets):
     body = sq.sq_body(jax.random.PRNGKey(31337))
     occ = lambda pts: sq.sq_occupancy(pts, body)  # noqa: E731
     iou_flat = iou(sq.render_front(body, 512, flat=True)[0], occ)
-    assert iou_flat > 0.84, iou_flat
+    assert iou_flat > 0.90, iou_flat
     iou_shaded = iou(sq.render_front(body, 512)[0], occ)
-    assert iou_shaded > 0.82, iou_shaded
+    assert iou_shaded > 0.89, iou_shaded
 
     from monoport_tpu.training.datasets.fixture import _render_rgba
     rgba = np.asarray(_render_rgba(0, 512), dtype=np.float32) / 255.0
@@ -151,4 +152,4 @@ def test_trained_crossfam_generalization(nets):
     radii = jnp.asarray(RADII)
     iou_ell = iou(ell, lambda pts: (jnp.square(pts / radii).sum(-1)
                                     <= 1.0).astype(jnp.float32))
-    assert iou_ell > 0.85, iou_ell
+    assert iou_ell > 0.87, iou_ell
