@@ -43,6 +43,16 @@ def main(argv=None):
                         help="match netG's r3 curriculum: clothed bodies "
                         "+ textured appearance (netC must read color "
                         "from the image, not memorize the shading)")
+    parser.add_argument("--mixed", type=int, default=0,
+                        help="cross-family curriculum: 50/50 capsule/"
+                        "superquadric bodies with a --flat_prob shading-"
+                        "free slice whose color labels drop the depth cue "
+                        "too. Fixes the r5-measured crater: the capsule-"
+                        "only netC predicts SHADED colors on flat renders "
+                        "(eval_crossfam sq_flat tex 18.4 dB vs shaded "
+                        "28.5) because shading was a constant of its "
+                        "training distribution, not an image cue")
+    parser.add_argument("--flat_prob", type=float, default=0.3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--netg", default="monoport_tpu/data/netg_capsule.npz")
@@ -66,33 +76,61 @@ def main(argv=None):
         optax.adam(optax.cosine_decay_schedule(
             args.lr, args.steps, alpha=0.05)))
 
+    def _plain_anchor(key, app):
+        # 50/50 plain anchor: half the stream is the bench/demo look
+        # (default base with brightness jitter, no texture pattern,
+        # bare body). Without it the texture curriculum makes netC
+        # hallucinate faint patterns on plain bodies: measured 20.0 dB
+        # vs 27.9 dB on the plain held-out capsule (r3 ledger).
+        from ..training.datasets.capsule import _DEFAULT_BASE
+        k_mix, k_pb = jax.random.split(jax.random.fold_in(key, 99))
+        plain = jax.random.bernoulli(k_mix, 0.5)
+        keep = 1.0 - plain.astype(jnp.float32)
+        base_plain = jnp.asarray(_DEFAULT_BASE) * jax.random.uniform(
+            k_pb, (3,), minval=0.8, maxval=1.15)
+        return {"base": jnp.where(plain, base_plain, app["base"]),
+                "amp": app["amp"] * keep,
+                "freq": app["freq"], "phase": app["phase"]}, keep
+
+    def _flat(key):
+        # shading-free slice (traced bool): the render drops the depth
+        # cue AND the color labels drop it with it (surface_color flat=)
+        if not args.mixed:
+            return False
+        return (jax.random.uniform(jax.random.fold_in(key, 55), ())
+                < args.flat_prob)
+
+    def make_sq_item(key):
+        """Superquadric half of the --mixed curriculum (same appearance/
+        shading model: superquadric.render_front rides render_front_occ,
+        so capsule.surface_color is its exact color ground truth too)."""
+        from ..training.datasets import superquadric as sq
+        from ..training.datasets.capsule import sample_appearance
+        k_body, k_app, k_pts = jax.random.split(key, 3)
+        body = sq.sq_body(k_body)
+        app, _ = _plain_anchor(key, sample_appearance(k_app))
+        flat = _flat(key)
+        image, _ = sq.render_front(body, args.size, appearance=app,
+                                   flat=flat)
+        pts = sq.sample_surface_points(k_pts, body, args.points)
+        colors = surface_color(pts, appearance=app, flat=flat)
+        return image, pts, colors
+
     def make_item(key):
         k_skel, k_base, k_pts, k_cloth = jax.random.split(key, 4)
         if args.hard:
-            from ..training.datasets.capsule import (_DEFAULT_BASE, clothe,
-                                                     sample_appearance)
+            from ..training.datasets.capsule import clothe, sample_appearance
             caps = clothe(k_cloth, skeleton3d(
                 k_skel, scale_range=(0.45, 1.0), pose_spread=1.35,
                 z_spread=0.35), amp=(0.0, 0.30))
-            app = sample_appearance(k_base)
-            # 50/50 plain anchor: half the stream is the bench/demo look
-            # (default base with brightness jitter, no texture pattern,
-            # bare body). Without it the texture curriculum makes netC
-            # hallucinate faint patterns on plain bodies: measured 20.0 dB
-            # vs 27.9 dB on the plain held-out capsule (r3 ledger).
-            k_mix, k_pb = jax.random.split(jax.random.fold_in(key, 99))
-            plain = jax.random.bernoulli(k_mix, 0.5)
-            keep = 1.0 - plain.astype(jnp.float32)
-            base_plain = jnp.asarray(_DEFAULT_BASE) * jax.random.uniform(
-                k_pb, (3,), minval=0.8, maxval=1.15)
-            app = {"base": jnp.where(plain, base_plain, app["base"]),
-                   "amp": app["amp"] * keep,
-                   "freq": app["freq"], "phase": app["phase"]}
+            app, keep = _plain_anchor(key, sample_appearance(k_base))
             amp_v, freq, phase = caps[3]
             caps = (caps[0], caps[1], caps[2], (amp_v * keep, freq, phase))
-            image, _ = render_front(caps, args.size, appearance=app)
+            flat = _flat(key)
+            image, _ = render_front(caps, args.size, appearance=app,
+                                    flat=flat)
             pts = sample_surface_points(k_pts, caps, args.points)
-            colors = surface_color(pts, appearance=app)
+            colors = surface_color(pts, appearance=app, flat=flat)
         else:
             caps = skeleton3d(k_skel)
             base = jnp.asarray([0.8, 0.65, 0.55]) * jax.random.uniform(
@@ -103,8 +141,22 @@ def main(argv=None):
         return image, pts, colors
 
     def make_batch(key):
-        image, pts, colors = jax.vmap(make_item)(
-            jax.random.split(key, args.batch))
+        if args.mixed:
+            assert args.batch >= 2, "--mixed needs batch >= 2"
+            # static half/half family split (mixed_train_batch scheme):
+            # one jitted step trains on both families, no item branching
+            k_caps, k_sq = jax.random.split(key)
+            n_caps = max(1, args.batch // 2)
+            ic, pc, cc = jax.vmap(make_item)(
+                jax.random.split(k_caps, n_caps))
+            isq, psq, csq = jax.vmap(make_sq_item)(
+                jax.random.split(k_sq, args.batch - n_caps))
+            image = jnp.concatenate([ic, isq], axis=0)
+            pts = jnp.concatenate([pc, psq], axis=0)
+            colors = jnp.concatenate([cc, csq], axis=0)
+        else:
+            image, pts, colors = jax.vmap(make_item)(
+                jax.random.split(key, args.batch))
         calib = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
                          (args.batch, 1, 1))
         return image, pts, colors, calib

@@ -196,15 +196,18 @@ def render_front(caps, size: int, n_march: int = 48, base_color=None,
                             appearance=appearance, flat=flat)
 
 
-def surface_color(pts, base_color=None, appearance=None):
+def surface_color(pts, base_color=None, appearance=None, flat=False):
     """Ground-truth surface color at [..., 3] points, normalized [-1, 1]
     (the same shading model render_front painted into the image — netC's
-    learning target is consistent with its input view)."""
+    learning target is consistent with its input view). ``flat`` (may be
+    a traced bool, per-item curriculum mixing) drops the depth cue to
+    match a render_front_occ(flat=True) input — base * pattern only."""
     base = jnp.asarray(base_color if base_color is not None
                        else (appearance["base"] if appearance is not None
                              else _DEFAULT_BASE))
     pat = _pattern(pts[..., :2], appearance)
-    return jnp.clip(_shade(pts[..., 2:3]) * base * pat, 0.0, 1.0) * 2.0 - 1.0
+    shade = jnp.where(jnp.asarray(flat), 1.0, _shade(pts[..., 2:3]))
+    return jnp.clip(shade * base * pat, 0.0, 1.0) * 2.0 - 1.0
 
 
 def sample_surface_points(key, caps, n: int):
@@ -261,15 +264,7 @@ def gt_texture_canvas(depth, valid, resolution: int, base_color=None,
     pts = jnp.stack([jnp.broadcast_to(a[:, None], (r, r)),
                      jnp.broadcast_to(a[None, :], (r, r)),
                      (float(r) - depth) * sr - 1.0], -1)
-    if flat:
-        base = jnp.asarray(base_color if base_color is not None
-                           else (appearance["base"] if appearance is not None
-                                 else _DEFAULT_BASE))
-        pat = _pattern(pts[..., :2], appearance)
-        gt = jnp.clip(base * pat, 0.0, 1.0)
-        gt = jnp.broadcast_to(gt, pts.shape[:-1] + (3,))
-    else:
-        gt = surface_color(pts, base_color, appearance) * 0.5 + 0.5
+    gt = surface_color(pts, base_color, appearance, flat=flat) * 0.5 + 0.5
     return jnp.where(valid[..., None], gt, 1.0)
 
 

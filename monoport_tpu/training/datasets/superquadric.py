@@ -99,26 +99,24 @@ def render_front(body, size: int, n_march: int = 48, base_color=None,
                             appearance=appearance, flat=flat)
 
 
-def sample_points(key, body, n: int, sigma: float = 0.035):
-    """Surface+uniform occupancy samples (the ppl_dynamic.py:262-298
-    scheme capsule.sample_points follows): 4/5 near-surface via radial
-    perturbation of ray-cast boundary points, 1/5 uniform."""
-    k_dir, k_seg, k_t, k_rad, k_uni = jax.random.split(key, 5)
-    n_surf = (n * 4) // 5
-    # approximate on-surface points: walk from a random axis point along a
-    # random direction to the F=1 crossing by bisection (exact to ~1e-3)
+def sample_surface_points(key, body, n: int):
+    """n points ON the body surface (netC color-supervision sites, the
+    capsule.sample_surface_points contract): walk from a random axis
+    point along a random direction to the F=1 crossing by bisection
+    (exact to ~1e-3)."""
+    k_dir, k_seg, k_t = jax.random.split(key, 3)
     a, b = body["a"], body["b"]
-    seg = jax.random.randint(k_seg, (n_surf,), 0, body["r"].shape[0])
-    t = jax.random.uniform(k_t, (n_surf, 1))
+    seg = jax.random.randint(k_seg, (n,), 0, body["r"].shape[0])
+    t = jax.random.uniform(k_t, (n, 1))
     on_axis = a[seg] + t * (b[seg] - a[seg])
-    d = jax.random.normal(k_dir, (n_surf, 3))
+    d = jax.random.normal(k_dir, (n, 3))
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
 
     def occ_at(s):
         return sq_occupancy(on_axis + s[:, None] * d, body)
 
-    lo = jnp.zeros((n_surf,))
-    hi = jnp.full((n_surf,), 1.0)
+    lo = jnp.zeros((n,))
+    hi = jnp.full((n,), 1.0)
 
     def bisect(_, carry):
         lo, hi = carry
@@ -127,7 +125,16 @@ def sample_points(key, body, n: int, sigma: float = 0.035):
         return jnp.where(ins, mid, lo), jnp.where(ins, hi, mid)
 
     lo, hi = jax.lax.fori_loop(0, 18, bisect, (lo, hi))
-    surf = on_axis + ((lo + hi) / 2.0)[:, None] * d
+    return on_axis + ((lo + hi) / 2.0)[:, None] * d
+
+
+def sample_points(key, body, n: int, sigma: float = 0.035):
+    """Surface+uniform occupancy samples (the ppl_dynamic.py:262-298
+    scheme capsule.sample_points follows): 4/5 near-surface via radial
+    perturbation of ray-cast boundary points, 1/5 uniform."""
+    k_surf, k_rad, k_uni = jax.random.split(key, 3)
+    n_surf = (n * 4) // 5
+    surf = sample_surface_points(k_surf, body, n_surf)
     surf = surf + jax.random.normal(k_rad, (n_surf, 3)) * sigma
     unif = jax.random.uniform(k_uni, (n - n_surf, 3), minval=-1.0,
                               maxval=1.0)
