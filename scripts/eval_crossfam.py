@@ -59,6 +59,9 @@ def main():
     p.add_argument("--no_tex", action="store_true",
                    help="skip the netC texture PSNR even if the "
                         "committed netc_capsule.npz is present")
+    p.add_argument("--netc", default=None,
+                   help="netC checkpoint for the texture PSNR "
+                        "(default: the committed netc_capsule.npz)")
     args = p.parse_args()
 
     import jax
@@ -106,8 +109,9 @@ def main():
     # is exactly what gt_texture_canvas paints for ANY family rendered
     # through it (capsule and superquadric both)
     netC, params_c = None, None
-    ckpt_c = os.path.join(os.path.dirname(__file__), os.pardir,
-                          "monoport_tpu", "data", "netc_capsule.npz")
+    ckpt_c = args.netc or os.path.join(os.path.dirname(__file__), os.pardir,
+                                       "monoport_tpu", "data",
+                                       "netc_capsule.npz")
     if os.path.exists(ckpt_c) and not args.no_tex:
         netC = MonoPortNet(cfg.netC)
         params_c = {"params": load_params(ckpt_c)[0]}
