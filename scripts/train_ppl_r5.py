@@ -54,6 +54,12 @@ CFG_C = CFG_G + [
     # netC: un-normalized ResnetFilter output explodes under plain adam
     # at lr >= 1e-3 (train_capsule_netC.py measured it); clip like it does
     "grad_clip", "1.0",
+    # in-process loading: the loader forks a fresh pool per epoch, and by
+    # phase C the process carries enough live JAX/relay threads that a
+    # fork can land mid-lock and deadlock the worker (measured: r5 run
+    # hung at phase-C epoch 2, worker in futex_do_wait forever). Phase G
+    # keeps num_threads=2 and exercises the multiprocess path on TPU.
+    "num_threads", "0",
 ]
 
 
