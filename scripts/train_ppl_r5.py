@@ -52,7 +52,12 @@ CFG_C = CFG_G + [
     "dataset.num_sample_color", "512",
     "dataset.sigma_color", "0.002",
     # netC: un-normalized ResnetFilter output explodes under plain adam
-    # at lr >= 1e-3 (train_capsule_netC.py measured it); clip like it does
+    # at lr >= 1e-3 (train_capsule_netC.py measured it); clip like it does.
+    # With the clip + PIFuNetCMLP's out_init_scale (the r5 fix for the
+    # measured init-saturation plateau: loss pinned at 0.82, PSNR 6.4->5.4
+    # over 12 epochs) lr 1e-3 is stable and converges in the few-hundred-
+    # step budget this run has (the capsule run had 3000 steps at 3e-4).
+    "learning_rate", "1e-3",
     "grad_clip", "1.0",
     # in-process loading: the loader forks a fresh pool per epoch, and by
     # phase C the process carries enough live JAX/relay threads that a
